@@ -1,0 +1,616 @@
+"""Vector quantization family: EMA ResidualVQ, lookup-free (LFQ), finite-scalar
+(FSQ), and grouped variants.
+
+Re-implements the capabilities the reference reaches through
+`vector-quantize-pytorch` (reference: soundstream.py:20-24, 563-607;
+encodec.py:70-84): EMA codebook learning with kmeans init, dead-code expiry,
+quantizer dropout, stochastic code sampling and the rotation-trick
+straight-through estimator.
+
+TPU-first design decisions:
+  * fully functional — codebooks/EMA stats are `Buffer`s; `__call__` returns the
+    updated module alongside outputs, so the whole thing lives inside one jitted
+    (and shard_mapped) train step.
+  * codebook distances are fp32 matmuls on the MXU (`-2 x·E + |E|²`), the
+    bit-exactness-critical path for token parity with the reference codec.
+  * under data parallelism, EMA cluster statistics are `psum`-reduced over the
+    mesh axis (`axis_name=`) so replicas never diverge — the property the
+    reference gets implicitly from torch.distributed (SURVEY.md §2.4 note).
+  * kmeans init / dead-code revival draw candidate vectors via a small
+    `all_gather` of per-device samples with a shared key, keeping replicas
+    identical without gathering full activations.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.module import Buffer, Module, evolve
+from .sampling import gumbel_noise, l2norm
+
+__all__ = [
+    "VectorQuantizeEMA", "ResidualVQ", "GroupedResidualVQ",
+    "LFQ", "ResidualLFQ", "GroupedResidualLFQ",
+    "FSQ", "ResidualFSQ", "GroupedResidualFSQ",
+]
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+def _maybe_psum(x, axis_name):
+    return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+
+def _sample_vectors(key, x, num: int):
+    """Sample `num` rows of x (N, D) with replacement."""
+    idx = jax.random.randint(key, (num,), 0, x.shape[0])
+    return jnp.take(x, idx, axis=0)
+
+
+def _gather_candidates(key, x, num: int, axis_name):
+    """Device-consistent candidate pool: sample locally, all_gather the small
+    pool, resample with a shared key. Returns (num, D), identical on every
+    device of `axis_name`."""
+    k1, k2 = jax.random.split(key)
+    local = _sample_vectors(k1, x, num)
+    if axis_name is not None:
+        local = jax.lax.all_gather(local, axis_name).reshape(-1, x.shape[-1])
+    return _sample_vectors(k2, local, num)
+
+
+def _kmeans(key, samples, num_clusters: int, iters: int = 10):
+    """Fixed-iteration kmeans (jit-safe). samples: (N, D) >= num_clusters rows."""
+    perm = jax.random.permutation(key, samples.shape[0])
+    centers = samples[perm[:num_clusters]]
+
+    def step(centers, _):
+        dist = _sq_dist(samples, centers)
+        assign = jnp.argmin(dist, axis=-1)
+        onehot = jax.nn.one_hot(assign, num_clusters, dtype=samples.dtype)
+        counts = onehot.sum(0)
+        sums = onehot.T @ samples
+        new = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1), centers)
+        return new, counts
+
+    centers, counts = jax.lax.scan(step, centers, None, length=iters)
+    return centers, counts[-1]
+
+
+def _sq_dist(x, e):
+    """Squared euclidean distance, fp32 on MXU. x: (N, D), e: (C, D) -> (N, C)."""
+    x = x.astype(jnp.float32)
+    e = e.astype(jnp.float32)
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    e2 = jnp.sum(e * e, axis=-1)
+    return x2 - 2.0 * (x @ e.T) + e2
+
+
+def _rotate_to(x, q):
+    """Rotation-trick straight-through (arXiv:2410.06424): forward value is q,
+    gradients flow to x through a (detached) rotation+rescale instead of a copy."""
+    eps = 1e-6
+    nx = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    nq = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    u = jax.lax.stop_gradient(x / jnp.maximum(nx, eps))
+    qh = jax.lax.stop_gradient(q / jnp.maximum(nq, eps))
+    w = jax.lax.stop_gradient(l2norm(u + qh))
+    rotated = x - 2.0 * jnp.sum(x * w, -1, keepdims=True) * w \
+        + 2.0 * jnp.sum(x * u, -1, keepdims=True) * qh
+    scale = jax.lax.stop_gradient(nq / jnp.maximum(nx, eps))
+    return rotated * scale
+
+
+# ---------------------------------------------------------------------------
+# EMA vector quantizer (one codebook)
+# ---------------------------------------------------------------------------
+
+class VectorQuantizeEMA(Module):
+    """Single EMA-codebook VQ layer (the building block of ResidualVQ)."""
+
+    def __init__(self, dim: int, codebook_size: int, *, decay: float = 0.95,
+                 commitment_weight: float = 1.0, eps: float = 1e-5,
+                 threshold_ema_dead_code: float = 2.0, kmeans_init: bool = True,
+                 kmeans_iters: int = 10, rotation_trick: bool = True,
+                 stochastic_sample_codes: bool = False, key: jax.Array):
+        init = jnp.zeros if kmeans_init else (
+            lambda s, d: jax.random.uniform(key, s, d, -1.0 / codebook_size, 1.0 / codebook_size))
+        self.codebook = Buffer(init((codebook_size, dim), jnp.float32))
+        self.cluster_size = Buffer(jnp.zeros((codebook_size,), jnp.float32))
+        self.embed_avg = Buffer(self.codebook.value.copy())
+        self.initted = Buffer(jnp.asarray(not kmeans_init))
+        self.dim = dim
+        self.codebook_size = codebook_size
+        self.decay = decay
+        self.commitment_weight = commitment_weight
+        self.eps = eps
+        self.threshold_ema_dead_code = threshold_ema_dead_code
+        self.kmeans_iters = kmeans_iters
+        self.rotation_trick = rotation_trick
+        self.stochastic_sample_codes = stochastic_sample_codes
+
+    # -- pure pieces -------------------------------------------------------
+    def encode(self, x, *, key=None):
+        """x: (..., D) -> int32 indices (...,)."""
+        flat = x.reshape(-1, self.dim)
+        dist = _sq_dist(flat, self.codebook.value)
+        if self.stochastic_sample_codes and key is not None:
+            idx = jnp.argmax(-dist + gumbel_noise(key, dist.shape), axis=-1)
+        else:
+            idx = jnp.argmin(dist, axis=-1)
+        return idx.reshape(x.shape[:-1]).astype(jnp.int32)
+
+    def decode(self, indices):
+        return jnp.take(self.codebook.value, indices, axis=0)
+
+    def _init_codebook(self, key, flat, axis_name):
+        num_samples = max(4 * self.codebook_size, 1024)
+        cand = _gather_candidates(key, flat.astype(jnp.float32), num_samples, axis_name)
+        centers, counts = _kmeans(key, cand, self.codebook_size, self.kmeans_iters)
+        return evolve(
+            self,
+            codebook=Buffer(centers),
+            embed_avg=Buffer(centers * jnp.maximum(counts, 1.0)[:, None]),
+            cluster_size=Buffer(jnp.maximum(counts, 1.0)),
+            initted=Buffer(jnp.asarray(True)),
+        )
+
+    def _ema_update(self, key, flat, onehot, axis_name):
+        counts = _maybe_psum(onehot.sum(0), axis_name)
+        sums = _maybe_psum(onehot.T @ flat.astype(jnp.float32), axis_name)
+        d = self.decay
+        cluster_size = self.cluster_size.value * d + counts * (1 - d)
+        embed_avg = self.embed_avg.value * d + sums * (1 - d)
+        n = cluster_size.sum()
+        smoothed = (cluster_size + self.eps) / (n + self.codebook_size * self.eps) * n
+        codebook = embed_avg / jnp.maximum(smoothed[:, None], 1e-12)
+
+        # dead-code expiry: revive under-used codes from a shared candidate pool
+        if self.threshold_ema_dead_code > 0:
+            expired = cluster_size < self.threshold_ema_dead_code
+            cand = _gather_candidates(key, flat.astype(jnp.float32),
+                                      self.codebook_size, axis_name)
+            codebook = jnp.where(expired[:, None], cand, codebook)
+            embed_avg = jnp.where(expired[:, None],
+                                  cand * self.threshold_ema_dead_code, embed_avg)
+            cluster_size = jnp.where(expired, self.threshold_ema_dead_code, cluster_size)
+
+        return evolve(self, codebook=Buffer(codebook), embed_avg=Buffer(embed_avg),
+                      cluster_size=Buffer(cluster_size))
+
+    def __call__(self, x, *, key=None, train: bool = False, axis_name=None,
+                 freeze_codebook: bool = False):
+        """Returns (quantized, indices, commit_loss, new_self)."""
+        shape = x.shape
+        flat = jax.lax.stop_gradient(x.reshape(-1, self.dim))
+        new_self = self
+
+        if train and not freeze_codebook:
+            if key is None:
+                raise ValueError("training VQ requires a PRNG key")
+            k_init, k_samp, k_ema = jax.random.split(key, 3)
+            new_self = jax.lax.cond(
+                self.initted.value,
+                lambda s: s,
+                lambda s: s._init_codebook(k_init, flat, axis_name),
+                self,
+            )
+        else:
+            k_samp = k_ema = None
+
+        idx = new_self.encode(x, key=k_samp if (train and self.stochastic_sample_codes) else None)
+        quantized = new_self.decode(idx).astype(x.dtype)
+
+        commit_loss = self.commitment_weight * jnp.mean(
+            (jax.lax.stop_gradient(quantized.astype(jnp.float32)) - x.astype(jnp.float32)) ** 2)
+
+        if train and not freeze_codebook:
+            onehot = jax.nn.one_hot(idx.reshape(-1), self.codebook_size, dtype=jnp.float32)
+            new_self = new_self._ema_update(k_ema, flat, onehot, axis_name)
+
+        # straight-through
+        if self.rotation_trick:
+            out = _rotate_to(x.reshape(-1, self.dim),
+                             quantized.reshape(-1, self.dim)).reshape(shape).astype(x.dtype)
+        else:
+            out = x + jax.lax.stop_gradient(quantized - x)
+        return out, idx, commit_loss, new_self
+
+
+# ---------------------------------------------------------------------------
+# Residual VQ
+# ---------------------------------------------------------------------------
+
+class ResidualVQ(Module):
+    """Residual vector quantization over `num_quantizers` EMA codebooks
+    (reference capability: vector-quantize-pytorch ResidualVQ as configured at
+    soundstream.py:592-607)."""
+
+    def __init__(self, *, dim: int, num_quantizers: int, codebook_size: int,
+                 decay: float = 0.95, commitment_weight: float = 1.0,
+                 quantize_dropout: bool = False, quantize_dropout_cutoff_index: int = 0,
+                 quantize_dropout_multiple_of: int = 1, kmeans_init: bool = True,
+                 threshold_ema_dead_code: float = 2.0, rotation_trick: bool = True,
+                 stochastic_sample_codes: bool = False, key: jax.Array):
+        keys = jax.random.split(key, num_quantizers)
+        self.layers = [
+            VectorQuantizeEMA(dim, codebook_size, decay=decay,
+                              commitment_weight=commitment_weight,
+                              threshold_ema_dead_code=threshold_ema_dead_code,
+                              kmeans_init=kmeans_init, rotation_trick=rotation_trick,
+                              stochastic_sample_codes=stochastic_sample_codes, key=k)
+            for k in keys
+        ]
+        self.dim = dim
+        self.num_quantizers = num_quantizers
+        self.codebook_size = codebook_size
+        self.quantize_dropout = quantize_dropout and num_quantizers > 1
+        self.quantize_dropout_cutoff_index = quantize_dropout_cutoff_index
+        self.quantize_dropout_multiple_of = quantize_dropout_multiple_of
+
+    @property
+    def codebooks(self):
+        return jnp.stack([l.codebook.value for l in self.layers])  # (Q, C, D)
+
+    def __call__(self, x, *, key=None, train: bool = False, axis_name=None,
+                 rand_quantize_dropout_fixed_seed=None):
+        """x: (B, N, D) -> (quantized, indices (B, N, Q) int32 [-1 = dropped],
+        commit_losses (Q,), new_self)."""
+        b, n, _ = x.shape
+        q = self.num_quantizers
+
+        # quantizer dropout: one shared threshold per step (reference lib draws
+        # a python randrange per forward; we draw it inside the jitted step)
+        if train and self.quantize_dropout:
+            kd, key = jax.random.split(key)
+            if rand_quantize_dropout_fixed_seed is not None:
+                kd = rand_quantize_dropout_fixed_seed
+            drop_idx = jax.random.randint(kd, (), self.quantize_dropout_cutoff_index, q)
+            mult = self.quantize_dropout_multiple_of
+            if mult > 1:
+                drop_idx = ((drop_idx + 1 + mult - 1) // mult) * mult - 1
+        else:
+            drop_idx = jnp.asarray(q, jnp.int32)  # keep all
+
+        residual = x
+        quantized_out = jnp.zeros_like(x)
+        all_idx, all_loss, new_layers = [], [], []
+        for qi, layer in enumerate(self.layers):
+            lk = None
+            if key is not None:
+                key, lk = jax.random.split(key)
+            quantized, idx, closs, new_layer = layer(
+                residual, key=lk, train=train, axis_name=axis_name,
+                freeze_codebook=False)
+            keep = qi <= drop_idx
+            quantized = jnp.where(keep, quantized, 0.0)
+            idx = jnp.where(keep, idx, -1)
+            closs = jnp.where(keep, closs, 0.0)
+            residual = residual - jax.lax.stop_gradient(quantized)
+            quantized_out = quantized_out + quantized
+            all_idx.append(idx)
+            all_loss.append(closs)
+            # freeze EMA state of dropped quantizers this step
+            new_layers.append(jax.tree_util.tree_map(
+                lambda new, old: jnp.where(keep, new, old), new_layer, layer)
+                if train else new_layer)
+
+        new_self = evolve(self, layers=new_layers)
+        indices = jnp.stack(all_idx, axis=-1)
+        losses = jnp.stack(all_loss)
+        return quantized_out, indices, losses, new_self
+
+    def encode(self, x):
+        """Eval-mode encode: (B, N, D) -> indices (B, N, Q)."""
+        out, idx, _, _ = self(x, train=False)
+        return idx
+
+    def get_output_from_indices(self, indices):
+        """indices: (B, N, Q) with -1 for dropped/padded -> (B, N, D)."""
+        cbs = self.codebooks  # (Q, C, D)
+        safe = jnp.where(indices < 0, 0, indices)
+        # per-quantizer gather (Q is small; each take is one HBM-friendly gather)
+        out = 0.0
+        for qi in range(self.num_quantizers):
+            emb = jnp.take(cbs[qi], safe[..., qi], axis=0)
+            out = out + jnp.where((indices[..., qi] >= 0)[..., None], emb, 0.0)
+        return out
+
+
+class _GroupedResidual(Module):
+    """Split the feature dim into groups, one residual quantizer per group
+    (HiFi-Codec style; reference: GroupedResidualVQ at soundstream.py:592)."""
+
+    inner_cls = None
+
+    def __init__(self, *, dim: int, groups: int = 1, key: jax.Array, **kwargs):
+        assert dim % groups == 0
+        keys = jax.random.split(key, groups)
+        self.rvqs = [type(self).make_inner(dim=dim // groups, key=k, **kwargs) for k in keys]
+        self.dim = dim
+        self.groups = groups
+
+    @classmethod
+    def make_inner(cls, **kwargs):
+        raise NotImplementedError
+
+    @property
+    def num_quantizers(self):
+        return self.rvqs[0].num_quantizers
+
+    @property
+    def codebook_size(self):
+        return self.rvqs[0].codebook_size
+
+    def __call__(self, x, *, key=None, train: bool = False, axis_name=None):
+        chunks = jnp.split(x, self.groups, axis=-1)
+        outs, idxs, losses, new_rvqs = [], [], [], []
+        for rvq, chunk in zip(self.rvqs, chunks):
+            lk = None
+            if key is not None:
+                key, lk = jax.random.split(key)
+            o, i, l, nr = rvq(chunk, key=lk, train=train, axis_name=axis_name)
+            outs.append(o); idxs.append(i); losses.append(l); new_rvqs.append(nr)
+        quantized = jnp.concatenate(outs, axis=-1)
+        indices = jnp.stack(idxs)      # (G, B, N, Q)
+        loss = jnp.stack(losses)       # (G, Q)
+        return quantized, indices, loss, evolve(self, rvqs=new_rvqs)
+
+    def get_output_from_indices(self, indices):
+        """indices: (G, B, N, Q) -> (B, N, D)."""
+        outs = [rvq.get_output_from_indices(indices[g])
+                for g, rvq in enumerate(self.rvqs)]
+        return jnp.concatenate(outs, axis=-1)
+
+
+class GroupedResidualVQ(_GroupedResidual):
+    @classmethod
+    def make_inner(cls, **kwargs):
+        return ResidualVQ(**kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Lookup-free quantization (LFQ) — arXiv:2310.05737
+# ---------------------------------------------------------------------------
+
+class LFQ(Module):
+    """Binary lookup-free quantizer: each latent dim is a sign bit; the code
+    index is the bit pattern. Entropy aux loss encourages codebook usage."""
+
+    def __init__(self, *, dim: int, codebook_size: int,
+                 entropy_loss_weight: float = 0.1, commitment_weight: float = 0.25,
+                 diversity_gamma: float = 1.0, key: jax.Array):
+        assert math.log2(codebook_size).is_integer(), "LFQ codebook_size must be 2^k"
+        self.codebook_bits = int(math.log2(codebook_size))
+        self.dim = dim
+        self.codebook_size = codebook_size
+        self.entropy_loss_weight = entropy_loss_weight
+        self.commitment_weight = commitment_weight
+        self.diversity_gamma = diversity_gamma
+        if dim != self.codebook_bits:
+            k1, k2 = jax.random.split(key)
+            lim = 1.0 / math.sqrt(dim)
+            self.project_in = jax.random.uniform(k1, (dim, self.codebook_bits), jnp.float32, -lim, lim)
+            self.project_out = jax.random.uniform(k2, (self.codebook_bits, dim), jnp.float32, -lim, lim)
+        else:
+            self.project_in = None
+            self.project_out = None
+        self.bit_weights = 2 ** jnp.arange(self.codebook_bits, dtype=jnp.int32)
+
+    def _codes_from_bits(self, z):
+        bits = (z > 0).astype(jnp.int32)
+        return jnp.sum(bits * self.bit_weights, axis=-1)
+
+    def decode(self, indices):
+        bits = ((indices[..., None] & self.bit_weights) > 0).astype(jnp.float32)
+        z = bits * 2.0 - 1.0
+        if self.project_out is not None:
+            z = z @ self.project_out
+        return z
+
+    def __call__(self, x, *, key=None, train: bool = False, axis_name=None):
+        z = x if self.project_in is None else x @ self.project_in.astype(x.dtype)
+        zf = z.astype(jnp.float32)
+        quantized = jnp.where(zf > 0, 1.0, -1.0)
+        idx = self._codes_from_bits(zf).astype(jnp.int32)
+
+        commit = self.commitment_weight * jnp.mean((zf - jax.lax.stop_gradient(quantized)) ** 2)
+        # entropy losses: confident per-sample bits, diverse batch usage
+        if train and self.entropy_loss_weight > 0:
+            p = jax.nn.sigmoid(4.0 * zf)  # per-bit prob of +1
+            per_sample_ent = jnp.mean(-p * jnp.log(p + 1e-9) - (1 - p) * jnp.log(1 - p + 1e-9))
+            mean_p = jnp.mean(p.reshape(-1, p.shape[-1]), axis=0)
+            mean_p = _maybe_psum(mean_p, axis_name) / (
+                jax.lax.psum(1, axis_name) if axis_name is not None else 1)
+            batch_ent = jnp.mean(-mean_p * jnp.log(mean_p + 1e-9)
+                                 - (1 - mean_p) * jnp.log(1 - mean_p + 1e-9))
+            entropy_aux = per_sample_ent - self.diversity_gamma * batch_ent
+        else:
+            entropy_aux = 0.0
+        loss = commit + self.entropy_loss_weight * entropy_aux
+
+        out = zf + jax.lax.stop_gradient(quantized - zf)
+        if self.project_out is not None:
+            out = out @ self.project_out
+        return out.astype(x.dtype), idx, loss, self
+
+
+class ResidualLFQ(Module):
+    def __init__(self, *, dim: int, num_quantizers: int, codebook_size: int,
+                 quantize_dropout: bool = False, quantize_dropout_cutoff_index: int = 0,
+                 key: jax.Array, **lfq_kwargs):
+        keys = jax.random.split(key, num_quantizers)
+        self.layers = [LFQ(dim=dim, codebook_size=codebook_size, key=k, **lfq_kwargs)
+                       for k in keys]
+        self.dim = dim
+        self.num_quantizers = num_quantizers
+        self.codebook_size = codebook_size
+        self.quantize_dropout = quantize_dropout and num_quantizers > 1
+        self.quantize_dropout_cutoff_index = quantize_dropout_cutoff_index
+
+    def __call__(self, x, *, key=None, train: bool = False, axis_name=None):
+        q = self.num_quantizers
+        if train and self.quantize_dropout:
+            kd, key = jax.random.split(key)
+            drop_idx = jax.random.randint(kd, (), self.quantize_dropout_cutoff_index, q)
+        else:
+            drop_idx = jnp.asarray(q, jnp.int32)
+        residual = x
+        out = jnp.zeros_like(x)
+        idxs, losses, new_layers = [], [], []
+        for qi, layer in enumerate(self.layers):
+            lk = None
+            if key is not None:
+                key, lk = jax.random.split(key)
+            quantized, idx, loss, new_layer = layer(residual, key=lk, train=train,
+                                                    axis_name=axis_name)
+            keep = qi <= drop_idx
+            quantized = jnp.where(keep, quantized, 0.0)
+            idx = jnp.where(keep, idx, -1)
+            loss = jnp.where(keep, loss, 0.0)
+            residual = residual - jax.lax.stop_gradient(quantized)
+            out = out + quantized
+            idxs.append(idx); losses.append(loss); new_layers.append(new_layer)
+        return out, jnp.stack(idxs, -1), jnp.stack(losses), evolve(self, layers=new_layers)
+
+    def get_output_from_indices(self, indices):
+        out = 0.0
+        for qi, layer in enumerate(self.layers):
+            idx = indices[..., qi]
+            emb = layer.decode(jnp.where(idx < 0, 0, idx))
+            out = out + jnp.where((idx >= 0)[..., None], emb, 0.0)
+        return out
+
+
+class GroupedResidualLFQ(_GroupedResidual):
+    @classmethod
+    def make_inner(cls, **kwargs):
+        return ResidualLFQ(**kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Finite scalar quantization (FSQ) — arXiv:2309.15505
+# ---------------------------------------------------------------------------
+
+class FSQ(Module):
+    """Each latent dim is rounded onto a small grid of `levels[i]` values in
+    [-1, 1]; the implicit codebook is the product grid (no aux losses)."""
+
+    def __init__(self, *, dim: int, levels: tuple, key: jax.Array):
+        self.levels = tuple(int(l) for l in levels)
+        self.codebook_size = int(jnp.prod(jnp.asarray(self.levels)))
+        self.num_dims = len(self.levels)
+        self.dim = dim
+        if dim != self.num_dims:
+            k1, k2 = jax.random.split(key)
+            lim = 1.0 / math.sqrt(dim)
+            self.project_in = jax.random.uniform(k1, (dim, self.num_dims), jnp.float32, -lim, lim)
+            self.project_out = jax.random.uniform(k2, (self.num_dims, dim), jnp.float32, -lim, lim)
+        else:
+            self.project_in = None
+            self.project_out = None
+        basis = [1]
+        for l in self.levels[:-1]:
+            basis.append(basis[-1] * l)
+        self.basis = jnp.asarray(basis, jnp.int32)
+        self.levels_arr = jnp.asarray(self.levels, jnp.float32)
+
+    def _bound(self, z, eps: float = 1e-3):
+        half = (self.levels_arr - 1.0) * (1.0 - eps) / 2.0
+        offset = jnp.where(jnp.asarray(self.levels) % 2 == 0, 0.5, 0.0)
+        shift = jnp.arctanh(offset / jnp.maximum(half, 1e-9))
+        return jnp.tanh(z + shift) * half - offset
+
+    def _quantize(self, z):
+        bounded = self._bound(z)
+        rounded = jnp.round(bounded)
+        return bounded + jax.lax.stop_gradient(rounded - bounded)
+
+    def _codes_to_indices(self, codes):
+        half = (self.levels_arr - 1.0) / 2.0
+        shifted = codes + jnp.ceil(half)  # 0..levels-1 (works for odd/even)
+        shifted = jnp.clip(shifted, 0, self.levels_arr - 1)
+        return jnp.sum(shifted.astype(jnp.int32) * self.basis, axis=-1)
+
+    def _indices_to_codes(self, indices):
+        half = (self.levels_arr - 1.0) / 2.0
+        codes = (indices[..., None] // self.basis) % jnp.asarray(self.levels, jnp.int32)
+        return codes.astype(jnp.float32) - jnp.ceil(half)
+
+    def decode(self, indices):
+        codes = self._indices_to_codes(indices)
+        half = (self.levels_arr - 1.0) / 2.0
+        z = codes / jnp.maximum(half, 1e-9)
+        if self.project_out is not None:
+            z = z @ self.project_out
+        return z
+
+    def __call__(self, x, *, key=None, train: bool = False, axis_name=None):
+        z = x if self.project_in is None else x @ self.project_in.astype(x.dtype)
+        zf = z.astype(jnp.float32)
+        q = self._quantize(zf)
+        idx = self._codes_to_indices(jax.lax.stop_gradient(q)).astype(jnp.int32)
+        half = (self.levels_arr - 1.0) / 2.0
+        out = q / jnp.maximum(half, 1e-9)
+        if self.project_out is not None:
+            out = out @ self.project_out
+        return out.astype(x.dtype), idx, jnp.asarray(0.0), self
+
+
+class ResidualFSQ(Module):
+    """Residual FSQ: each layer quantizes the residual at a geometrically finer
+    scale (layer q uses scale s^q), so codes refine like RVQ."""
+
+    def __init__(self, *, dim: int, levels: tuple, num_quantizers: int,
+                 quantize_dropout: bool = False, quantize_dropout_cutoff_index: int = 0,
+                 scale_factor: float | None = None, key: jax.Array):
+        keys = jax.random.split(key, num_quantizers)
+        self.layers = [FSQ(dim=dim, levels=levels, key=k) for k in keys]
+        self.dim = dim
+        self.num_quantizers = num_quantizers
+        self.codebook_size = self.layers[0].codebook_size
+        self.quantize_dropout = quantize_dropout and num_quantizers > 1
+        self.quantize_dropout_cutoff_index = quantize_dropout_cutoff_index
+        self.scale_factor = scale_factor if scale_factor is not None else \
+            2.0 / min(levels)
+
+    def _scales(self):
+        return [self.scale_factor ** qi for qi in range(self.num_quantizers)]
+
+    def __call__(self, x, *, key=None, train: bool = False, axis_name=None):
+        q = self.num_quantizers
+        if train and self.quantize_dropout:
+            kd, key = jax.random.split(key)
+            drop_idx = jax.random.randint(kd, (), self.quantize_dropout_cutoff_index, q)
+        else:
+            drop_idx = jnp.asarray(q, jnp.int32)
+        residual = x
+        out = jnp.zeros_like(x)
+        idxs, new_layers = [], []
+        for qi, (layer, scale) in enumerate(zip(self.layers, self._scales())):
+            quantized, idx, _, new_layer = layer(residual / scale, train=train)
+            quantized = quantized * scale
+            keep = qi <= drop_idx
+            quantized = jnp.where(keep, quantized, 0.0)
+            idx = jnp.where(keep, idx, -1)
+            residual = residual - jax.lax.stop_gradient(quantized)
+            out = out + quantized
+            idxs.append(idx); new_layers.append(new_layer)
+        return out, jnp.stack(idxs, -1), jnp.zeros((q,)), evolve(self, layers=new_layers)
+
+    def get_output_from_indices(self, indices):
+        out = 0.0
+        for qi, (layer, scale) in enumerate(zip(self.layers, self._scales())):
+            idx = indices[..., qi]
+            emb = layer.decode(jnp.where(idx < 0, 0, idx)) * scale
+            out = out + jnp.where((idx >= 0)[..., None], emb, 0.0)
+        return out
+
+
+class GroupedResidualFSQ(_GroupedResidual):
+    @classmethod
+    def make_inner(cls, **kwargs):
+        return ResidualFSQ(**kwargs)
