@@ -47,24 +47,28 @@ def _is_array(x: Any) -> bool:
     return isinstance(x, (jax.Array, np.ndarray))
 
 
-def _is_dynamic(v: Any) -> bool:
-    """A value is a pytree child if it is (or contains) arrays / modules.
-
-    None is dynamic so that partition/combine (which substitute None into
-    array slots) preserve the tree structure; a None child is an empty
-    subtree in JAX, adding no leaves.
-    """
-    if v is None or _is_array(v) or isinstance(v, (Module, Buffer)):
+def _contains_arrays(v: Any) -> bool:
+    if _is_array(v) or isinstance(v, (Module, Buffer)):
         return True
     if isinstance(v, (list, tuple)):
-        return any(_is_dynamic(x) for x in v)
+        return any(_contains_arrays(x) for x in v)
     if isinstance(v, dict):
-        return any(_is_dynamic(x) for x in v.values())
+        return any(_contains_arrays(x) for x in v.values())
     return False
 
 
+def _is_dynamic(v: Any) -> bool:
+    """A value is a pytree child if it is (or contains) arrays / modules, or is
+    None at the attribute level (None = optional submodule slot; an empty
+    subtree in JAX). The classification is made ONCE, when the attribute is
+    first assigned, and stored on the instance — so partition/combine (which
+    substitute None into array slots) can never flip a child back to static.
+    """
+    return v is None or _contains_arrays(v)
+
+
 def _hashable(v: Any) -> Any:
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple)):
         return tuple(_hashable(x) for x in v)
     if isinstance(v, dict):
         return tuple(sorted((k, _hashable(x)) for k, x in v.items()))
@@ -129,12 +133,26 @@ class Module:
             unflatten_func=cls._unflatten,
         )
 
+    def __setattr__(self, name, value):
+        # classify child-vs-static on first assignment; sticky thereafter so
+        # flatten stays structurally stable under partition/combine
+        dyn = self.__dict__.get("_dyn_names")
+        if dyn is None:
+            dyn = set()
+            object.__setattr__(self, "_dyn_names", dyn)
+        if name not in self.__dict__ and _is_dynamic(value):
+            dyn.add(name)
+        object.__setattr__(self, name, value)
+
     # -- pytree protocol ---------------------------------------------------
     def _split_fields(self):
+        dyn = self.__dict__.get("_dyn_names", set())
         dyn_names, dyn_vals, st_names, st_vals = [], [], [], []
         for name in sorted(self.__dict__):
+            if name == "_dyn_names":
+                continue
             v = self.__dict__[name]
-            if _is_dynamic(v):
+            if name in dyn:
                 dyn_names.append(name)
                 dyn_vals.append(v)
             else:
@@ -155,6 +173,7 @@ class Module:
     def _unflatten(cls, aux, children):
         dn, static = aux
         obj = object.__new__(cls)
+        object.__setattr__(obj, "_dyn_names", set(dn))
         for n, v in zip(dn, children):
             object.__setattr__(obj, n, v)
         for n, v in zip(static.names, static.values):
@@ -180,7 +199,7 @@ def evolve(module: Module, **changes) -> Module:
     """Functional attribute update (dataclasses.replace for Modules)."""
     obj = object.__new__(type(module))
     for n, v in module.__dict__.items():
-        object.__setattr__(obj, n, v)
+        object.__setattr__(obj, n, set(v) if n == "_dyn_names" else v)
     for n, v in changes.items():
         if n not in module.__dict__:
             raise AttributeError(f"{type(module).__name__} has no attribute {n!r}")
@@ -253,6 +272,24 @@ def partition_trainable(module):
     assert len(flags) == len(leaves), (len(flags), len(leaves))
     a = [x if f else None for f, x in zip(flags, leaves)]
     b = [None if f else x for f, x in zip(flags, leaves)]
+    return tree_util.tree_unflatten(treedef, a), tree_util.tree_unflatten(treedef, b)
+
+
+def partition_trainable_where(module, path_pred):
+    """Like partition_trainable, but a leaf is only trainable when
+    `path_pred(path_str)` is also True, where path_str is the dotted attribute
+    path (e.g. "discrs.stft.layers.0.weight"). Used to split GAN generator vs
+    discriminator parameter groups."""
+    flags = _trainable_leaf_flags(module)
+    keyed, treedef = tree_util.tree_flatten_with_path(module)
+    assert len(flags) == len(keyed)
+    a, b = [], []
+    for f, (path, leaf) in zip(flags, keyed):
+        path_str = ".".join(str(getattr(p, "name", getattr(p, "idx", getattr(p, "key", p))))
+                            for p in path)
+        sel = f and path_pred(path_str)
+        a.append(leaf if sel else None)
+        b.append(None if sel else leaf)
     return tree_util.tree_unflatten(treedef, a), tree_util.tree_unflatten(treedef, b)
 
 
