@@ -1,0 +1,270 @@
+"""HuBERT + k-means semantic tokenizer, JAX-native.
+
+Replaces the reference's fairseq-loaded frozen HuBERT (reference:
+audiolm_pytorch/hubert_kmeans.py:37-121) with a jitted JAX encoder: conv
+feature extractor → transformer → layer-K features → nearest k-means cluster.
+No fairseq at runtime: `load_fairseq_checkpoint` converts a fairseq torch
+checkpoint's state_dict directly (torch-cpu only for deserialization), and
+k-means centers load from joblib/sklearn pickles or .npy. Without checkpoints
+the module random-initializes (same shapes/API) so the full pipeline runs in
+tests and benchmarks.
+"""
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..nn.layers import Linear, exists
+from ..nn.module import Module
+from ..ops.resample import resample
+from ..ops.sampling import curtail_to_multiple
+
+__all__ = ["HubertWithKmeans", "HubertEncoder"]
+
+# fairseq hubert-base conv feature extractor spec: (dim, kernel, stride)
+_CONV_SPEC = ((512, 10, 5), (512, 3, 2), (512, 3, 2), (512, 3, 2),
+              (512, 3, 2), (512, 2, 2), (512, 2, 2))
+
+
+class _ConvFeatureLayer(Module):
+    def __init__(self, cin, cout, k, stride, *, group_norm=False, key):
+        lim = 1.0 / math.sqrt(cin * k)
+        self.weight = jax.random.uniform(key, (k, cin, cout), jnp.float32, -lim, lim)
+        self.stride = stride
+        self.gn_scale = jnp.ones((cout,)) if group_norm else None
+        self.gn_bias = jnp.zeros((cout,)) if group_norm else None
+
+    def __call__(self, x):
+        y = lax.conv_general_dilated(
+            x, self.weight.astype(x.dtype), (self.stride,), "VALID",
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        if self.gn_scale is not None:
+            # fairseq uses GroupNorm(512, 512) == per-channel instance norm over time
+            m = jnp.mean(y, axis=1, keepdims=True)
+            v = jnp.var(y, axis=1, keepdims=True)
+            y = (y - m) * jax.lax.rsqrt(v + 1e-5) * self.gn_scale + self.gn_bias
+        return jax.nn.gelu(y)
+
+
+class _HubertSelfAttn(Module):
+    def __init__(self, dim, heads, *, key):
+        k = jax.random.split(key, 4)
+        self.q = Linear(dim, dim, key=k[0])
+        self.k = Linear(dim, dim, key=k[1])
+        self.v = Linear(dim, dim, key=k[2])
+        self.out = Linear(dim, dim, key=k[3])
+        self.heads = heads
+        self.dim_head = dim // heads
+
+    def __call__(self, x, mask=None):
+        b, n, d = x.shape
+        h, dh = self.heads, self.dim_head
+        q = self.q(x).reshape(b, n, h, dh).transpose(0, 2, 1, 3) * dh ** -0.5
+        kk = self.k(x).reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+        v = self.v(x).reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+        sim = jnp.einsum("bhnd,bhmd->bhnm", q.astype(jnp.float32), kk.astype(jnp.float32))
+        if mask is not None:
+            sim = jnp.where(mask[:, None, None, :], sim, -1e9)
+        attn = jax.nn.softmax(sim, -1)
+        o = jnp.einsum("bhnm,bhmd->bhnd", attn, v.astype(jnp.float32)).astype(x.dtype)
+        return self.out(o.transpose(0, 2, 1, 3).reshape(b, n, d))
+
+
+class _LN(Module):
+    def __init__(self, dim):
+        self.weight = jnp.ones((dim,))
+        self.bias = jnp.zeros((dim,))
+
+    def __call__(self, x):
+        xf = x.astype(jnp.float32)
+        m = jnp.mean(xf, -1, keepdims=True)
+        v = jnp.var(xf, -1, keepdims=True)
+        return ((xf - m) * jax.lax.rsqrt(v + 1e-5) * self.weight + self.bias).astype(x.dtype)
+
+
+class _HubertLayer(Module):
+    def __init__(self, dim, heads, ff_dim, *, key):
+        k = jax.random.split(key, 3)
+        self.attn = _HubertSelfAttn(dim, heads, key=k[0])
+        self.ln1 = _LN(dim)
+        self.fc1 = Linear(dim, ff_dim, key=k[1])
+        self.fc2 = Linear(ff_dim, dim, key=k[2])
+        self.ln2 = _LN(dim)
+
+    def __call__(self, x, mask=None):
+        # post-norm (fairseq hubert-base layer_norm_first=False)
+        x = self.ln1(x + self.attn(x, mask))
+        x = self.ln2(x + self.fc2(jax.nn.gelu(self.fc1(x))))
+        return x
+
+
+class HubertEncoder(Module):
+    """Conv feature extractor + transformer encoder (hubert-base shapes)."""
+
+    def __init__(self, *, dim: int = 768, heads: int = 12, ff_dim: int = 3072,
+                 layers: int = 12, conv_pos_kernel: int = 128,
+                 conv_pos_groups: int = 16, key: jax.Array):
+        keys = jax.random.split(key, layers + len(_CONV_SPEC) + 4)
+        self.conv_layers = []
+        cin = 1
+        for i, (cout, k, s) in enumerate(_CONV_SPEC):
+            self.conv_layers.append(_ConvFeatureLayer(
+                cin, cout, k, s, group_norm=(i == 0), key=keys[layers + i]))
+            cin = cout
+        self.post_extract_proj = Linear(512, dim, key=keys[-4])
+        self.layer_norm_pre = _LN(512)
+        lim = 1.0 / math.sqrt(dim // conv_pos_groups * conv_pos_kernel)
+        self.pos_conv_weight = jax.random.uniform(
+            keys[-3], (conv_pos_kernel, dim // conv_pos_groups, dim),
+            jnp.float32, -lim, lim)
+        self.pos_conv_bias = jnp.zeros((dim,))
+        self.pos_conv_groups = conv_pos_groups
+        self.encoder_ln = _LN(dim)
+        self.layers = [_HubertLayer(dim, heads, ff_dim, key=keys[i])
+                       for i in range(layers)]
+        self.dim = dim
+
+    def extract_features(self, wav, output_layer: int):
+        """wav: (B, T) 16 kHz -> features (B, frames, dim) from `output_layer`."""
+        x = wav[..., None]
+        for conv in self.conv_layers:
+            x = conv(x)
+        x = self.layer_norm_pre(x)
+        x = self.post_extract_proj(x)
+        # conv positional embedding (SAME-ish padding, crop like fairseq)
+        k = self.pos_conv_weight.shape[0]
+        pos = lax.conv_general_dilated(
+            x, self.pos_conv_weight.astype(x.dtype), (1,), [(k // 2, k // 2)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=self.pos_conv_groups,
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        pos = pos + self.pos_conv_bias.astype(x.dtype)
+        if k % 2 == 0:
+            pos = pos[:, :-1]
+        x = x + jax.nn.gelu(pos)
+        x = self.encoder_ln(x)
+        for layer in self.layers[:output_layer]:
+            x = layer(x)
+        return x
+
+
+class HubertWithKmeans(Module):
+    """(API parity: reference hubert_kmeans.py:37-121)."""
+
+    def __init__(self, checkpoint_path: Optional[str] = None,
+                 kmeans_path: Optional[str] = None, *,
+                 target_sample_hz: int = 16000, seq_len_multiple_of: Optional[int] = None,
+                 output_layer: int = 9, codebook_size: int = 500,
+                 dim: int = 768, num_layers: int = 12,
+                 key: Optional[jax.Array] = None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        self.encoder = HubertEncoder(dim=dim, layers=num_layers, key=k1)
+        self.output_layer = output_layer
+        self.target_sample_hz = target_sample_hz
+        self.seq_len_multiple_of = seq_len_multiple_of
+        self.cluster_centers = 0.5 * jax.random.normal(k2, (codebook_size, dim))
+        self.pretrained = False
+        if exists(checkpoint_path):
+            self.load_fairseq_checkpoint(checkpoint_path)
+        if exists(kmeans_path):
+            self.load_kmeans(kmeans_path)
+
+    @property
+    def codebook_size(self):
+        return self.cluster_centers.shape[0]
+
+    @property
+    def groups(self):
+        return 1
+
+    @property
+    def downsample_factor(self):
+        # conv stack stride product = 320 @16 kHz -> 50 Hz (reference :88-90)
+        return 320
+
+    def load_fairseq_checkpoint(self, path):
+        """Convert a fairseq HuBERT torch checkpoint's state_dict (no fairseq
+        import needed — torch-cpu deserializes, keys are mapped by name)."""
+        import torch
+        ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
+        sd = ckpt.get("model", ckpt.get("state_dict", ckpt))
+        sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+
+        def A(name):
+            return jnp.asarray(sd[name])
+
+        enc = self.encoder
+        for i, conv in enumerate(enc.conv_layers):
+            w = A(f"feature_extractor.conv_layers.{i}.0.weight")  # (out,in,k)
+            conv.weight = jnp.transpose(w, (2, 1, 0))
+            if conv.gn_scale is not None:
+                conv.gn_scale = A(f"feature_extractor.conv_layers.{i}.2.weight")
+                conv.gn_bias = A(f"feature_extractor.conv_layers.{i}.2.bias")
+        enc.post_extract_proj.weight = A("post_extract_proj.weight").T
+        enc.post_extract_proj.bias = A("post_extract_proj.bias")
+        enc.layer_norm_pre.weight = A("layer_norm.weight")
+        enc.layer_norm_pre.bias = A("layer_norm.bias")
+        wg = sd.get("encoder.pos_conv.0.weight_g")
+        wv = sd.get("encoder.pos_conv.0.weight_v")
+        if wg is not None:
+            w = wg * wv / (np.linalg.norm(wv, axis=(0, 1), keepdims=True) + 1e-12)
+        else:
+            w = sd["encoder.pos_conv.0.weight"]
+        # torch conv1d weight (out, in/groups, k) -> (k, in/groups, out)
+        enc.pos_conv_weight = jnp.asarray(np.transpose(w, (2, 1, 0)))
+        enc.pos_conv_bias = A("encoder.pos_conv.0.bias")
+        enc.encoder_ln.weight = A("encoder.layer_norm.weight")
+        enc.encoder_ln.bias = A("encoder.layer_norm.bias")
+        for i, layer in enumerate(enc.layers):
+            p = f"encoder.layers.{i}"
+            layer.attn.q.weight = A(f"{p}.self_attn.q_proj.weight").T
+            layer.attn.q.bias = A(f"{p}.self_attn.q_proj.bias")
+            layer.attn.k.weight = A(f"{p}.self_attn.k_proj.weight").T
+            layer.attn.k.bias = A(f"{p}.self_attn.k_proj.bias")
+            layer.attn.v.weight = A(f"{p}.self_attn.v_proj.weight").T
+            layer.attn.v.bias = A(f"{p}.self_attn.v_proj.bias")
+            layer.attn.out.weight = A(f"{p}.self_attn.out_proj.weight").T
+            layer.attn.out.bias = A(f"{p}.self_attn.out_proj.bias")
+            layer.ln1.weight = A(f"{p}.self_attn_layer_norm.weight")
+            layer.ln1.bias = A(f"{p}.self_attn_layer_norm.bias")
+            layer.fc1.weight = A(f"{p}.fc1.weight").T
+            layer.fc1.bias = A(f"{p}.fc1.bias")
+            layer.fc2.weight = A(f"{p}.fc2.weight").T
+            layer.fc2.bias = A(f"{p}.fc2.bias")
+            layer.ln2.weight = A(f"{p}.final_layer_norm.weight")
+            layer.ln2.bias = A(f"{p}.final_layer_norm.bias")
+        self.pretrained = True
+
+    def load_kmeans(self, path):
+        """Load cluster centers from a joblib/sklearn kmeans pickle or .npy."""
+        path = Path(path)
+        if path.suffix == ".npy":
+            centers = np.load(path)
+        else:
+            import joblib
+            km = joblib.load(path)
+            centers = km.cluster_centers_
+        self.cluster_centers = jnp.asarray(centers, jnp.float32)
+
+    def __call__(self, wav_input, flatten: bool = True, input_sample_hz=None):
+        """wav_input: (B, T) -> cluster ids (B, frames) [or flattened]."""
+        if exists(input_sample_hz):
+            wav_input = resample(wav_input, input_sample_hz, self.target_sample_hz)
+        if exists(self.seq_len_multiple_of):
+            wav_input = curtail_to_multiple(wav_input, self.seq_len_multiple_of)
+        feats = self.encoder.extract_features(wav_input, self.output_layer)
+        # nearest cluster = argmax of -||f - c||^2, fp32 (reference :114-116)
+        f = feats.astype(jnp.float32)
+        c = self.cluster_centers.astype(jnp.float32)
+        dist = (jnp.sum(f * f, -1, keepdims=True) - 2 * f @ c.T
+                + jnp.sum(c * c, -1))
+        ids = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+        return ids.reshape(ids.shape[0], -1) if flatten else ids

@@ -1,0 +1,229 @@
+"""T5-v1.1 text encoder in JAX for classifier-free-guidance conditioning.
+
+Replaces the reference's frozen HF torch T5 (reference: audiolm_pytorch/t5.py:1-110)
+with a jitted JAX encoder. Weight porting: if the HF `transformers` torch
+checkpoint for the named model is available locally (offline cache), weights are
+converted once at construction; otherwise the encoder falls back to a
+deterministic random init plus a hash-based byte tokenizer, so the conditioning
+pathway stays fully functional (same shapes/dtypes/contract) without network
+access.
+
+Contract parity with the reference:
+  * `t5_encode_text(texts, name)` -> (B, L, dim) embeddings with padding
+    positions zeroed (reference t5.py:96-110); downstream recovers the mask
+    via `any(embed != 0)` (reference audiolm_pytorch.py:695).
+  * `get_encoded_dim(name)` -> encoder dim (reference t5.py:49-63).
+  * max length 256 (reference t5.py:19 MAX_LENGTH).
+"""
+from __future__ import annotations
+
+import functools
+import hashlib
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.module import Module
+from ..nn.layers import Linear
+
+__all__ = ["T5Encoder", "t5_encode_text", "get_encoded_dim", "DEFAULT_T5_NAME",
+           "T5_CONFIGS"]
+
+DEFAULT_T5_NAME = "google/t5-v1_1-base"
+MAX_LENGTH = 256
+
+T5_CONFIGS = {
+    "google/t5-v1_1-small": dict(dim=512, heads=6, dim_head=64, ff=1024, layers=8, vocab=32128),
+    "google/t5-v1_1-base": dict(dim=768, heads=12, dim_head=64, ff=2048, layers=12, vocab=32128),
+    "google/t5-v1_1-large": dict(dim=1024, heads=16, dim_head=64, ff=2816, layers=24, vocab=32128),
+}
+
+
+def get_encoded_dim(name: str) -> int:
+    if name in T5_CONFIGS:
+        return T5_CONFIGS[name]["dim"]
+    raise ValueError(f"unknown t5 model {name}")
+
+
+class _T5RMSNorm(Module):
+    def __init__(self, dim):
+        self.weight = jnp.ones((dim,), jnp.float32)
+
+    def __call__(self, x):
+        xf = x.astype(jnp.float32)
+        xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True) + 1e-6)
+        return (xf * self.weight).astype(x.dtype)
+
+
+def _t5_rel_bucket(rel_pos, num_buckets=32, max_distance=128):
+    """T5 bidirectional relative position bucketing."""
+    num_buckets //= 2
+    ret = (rel_pos > 0).astype(np.int32) * num_buckets
+    n = np.abs(rel_pos)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_large = max_exact + (
+        np.log(np.maximum(n, 1) / max_exact) / math.log(max_distance / max_exact)
+        * (num_buckets - max_exact)).astype(np.int32)
+    val_large = np.minimum(val_large, num_buckets - 1)
+    return ret + np.where(is_small, n, val_large)
+
+
+class _T5Block(Module):
+    def __init__(self, dim, heads, dim_head, ff, *, key):
+        k = jax.random.split(key, 7)
+        inner = heads * dim_head
+        self.ln1 = _T5RMSNorm(dim)
+        self.q = Linear(dim, inner, use_bias=False, key=k[0])
+        self.k = Linear(dim, inner, use_bias=False, key=k[1])
+        self.v = Linear(dim, inner, use_bias=False, key=k[2])
+        self.o = Linear(inner, dim, use_bias=False, key=k[3])
+        self.ln2 = _T5RMSNorm(dim)
+        self.wi0 = Linear(dim, ff, use_bias=False, key=k[4])
+        self.wi1 = Linear(dim, ff, use_bias=False, key=k[5])
+        self.wo = Linear(ff, dim, use_bias=False, key=k[6])
+        self.heads = heads
+        self.dim_head = dim_head
+
+    def __call__(self, x, bias, mask):
+        b, n, _ = x.shape
+        h = self.ln1(x)
+        q = self.q(h).reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        kk = self.k(h).reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        v = self.v(h).reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        sim = jnp.einsum("bhnd,bhmd->bhnm", q.astype(jnp.float32), kk.astype(jnp.float32))
+        sim = sim + bias  # T5 applies no 1/sqrt(d) scaling
+        sim = jnp.where(mask[:, None, None, :], sim, -1e9)
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v.astype(jnp.float32)).astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, -1)
+        x = x + self.o(out)
+        h = self.ln2(x)
+        x = x + self.wo(jax.nn.gelu(self.wi0(h), approximate=True) * self.wi1(h))
+        return x
+
+
+class T5Encoder(Module):
+    def __init__(self, name: str = DEFAULT_T5_NAME, *, key=None,
+                 load_pretrained: bool = True):
+        cfg = T5_CONFIGS[name]
+        key = key if key is not None else jax.random.PRNGKey(
+            int.from_bytes(hashlib.sha256(name.encode()).digest()[:4], "little"))
+        keys = jax.random.split(key, cfg["layers"] + 2)
+        self.token_embed = 0.02 * jax.random.normal(keys[0], (cfg["vocab"], cfg["dim"]))
+        self.rel_bias = 0.02 * jax.random.normal(keys[1], (32, cfg["heads"]))
+        self.blocks = [_T5Block(cfg["dim"], cfg["heads"], cfg["dim_head"], cfg["ff"],
+                                key=keys[i + 2]) for i in range(cfg["layers"])]
+        self.final_norm = _T5RMSNorm(cfg["dim"])
+        self.name = name
+        self.dim = cfg["dim"]
+        self.heads = cfg["heads"]
+        self.pretrained = False
+        if load_pretrained:
+            self._try_load_pretrained(name)
+
+    def _try_load_pretrained(self, name):
+        """Convert HF torch weights when available offline (no egress here)."""
+        try:
+            import os
+            os.environ.setdefault("HF_HUB_OFFLINE", "1")
+            os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+            from transformers import T5EncoderModel  # noqa
+            hf = T5EncoderModel.from_pretrained(name)
+        except Exception:
+            return
+        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        self.token_embed = jnp.asarray(sd["shared.weight"])
+        self.rel_bias = jnp.asarray(
+            sd["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"])
+        for i, blk in enumerate(self.blocks):
+            p = f"encoder.block.{i}.layer"
+            blk.q.weight = jnp.asarray(sd[f"{p}.0.SelfAttention.q.weight"]).T
+            blk.k.weight = jnp.asarray(sd[f"{p}.0.SelfAttention.k.weight"]).T
+            blk.v.weight = jnp.asarray(sd[f"{p}.0.SelfAttention.v.weight"]).T
+            blk.o.weight = jnp.asarray(sd[f"{p}.0.SelfAttention.o.weight"]).T
+            blk.ln1.weight = jnp.asarray(sd[f"{p}.0.layer_norm.weight"])
+            blk.wi0.weight = jnp.asarray(sd[f"{p}.1.DenseReluDense.wi_0.weight"]).T
+            blk.wi1.weight = jnp.asarray(sd[f"{p}.1.DenseReluDense.wi_1.weight"]).T
+            blk.wo.weight = jnp.asarray(sd[f"{p}.1.DenseReluDense.wo.weight"]).T
+            blk.ln2.weight = jnp.asarray(sd[f"{p}.1.layer_norm.weight"])
+        self.final_norm.weight = jnp.asarray(sd["encoder.final_layer_norm.weight"])
+        self.pretrained = True
+
+    def __call__(self, ids, mask):
+        """ids: (B, L) int32; mask: (B, L) bool. Returns (B, L, dim) with
+        padding positions zeroed (reference contract, t5.py:103-108)."""
+        n = ids.shape[1]
+        x = jnp.take(self.token_embed, ids, axis=0)
+        rel = np.arange(n)[None, :] - np.arange(n)[:, None]  # memory_pos - query_pos
+        buckets = _t5_rel_bucket(rel)
+        bias = self.rel_bias[buckets].transpose(2, 0, 1)[None]  # (1, H, n, n)
+        for blk in self.blocks:
+            x = blk(x, bias, mask)
+        x = self.final_norm(x)
+        return jnp.where(mask[..., None], x, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# tokenization: sentencepiece if available offline, else a deterministic
+# byte-pair-free fallback (stable hashing into the T5 vocab range)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=4)
+def _get_tokenizer(name: str):
+    try:
+        import os
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+        os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+        from transformers import T5TokenizerFast
+        return T5TokenizerFast.from_pretrained(name)
+    except Exception:
+        return None
+
+
+def _fallback_tokenize(texts, max_length):
+    """Deterministic word-hash tokenizer (vocab region 1000..31999) with EOS=1."""
+    batch_ids, batch_mask = [], []
+    for t in texts:
+        words = t.lower().split()[: max_length - 1]
+        ids = [1000 + int.from_bytes(hashlib.sha256(w.encode()).digest()[:4],
+                                     "little") % 31000 for w in words]
+        ids.append(1)  # </s>
+        mask = [True] * len(ids)
+        pad = max_length - len(ids)
+        batch_ids.append(ids + [0] * pad)
+        batch_mask.append(mask + [False] * pad)
+    ids = np.asarray(batch_ids, np.int32)
+    mask = np.asarray(batch_mask, bool)
+    # trim common padding
+    longest = int(mask.sum(-1).max())
+    return ids[:, :longest], mask[:, :longest]
+
+
+def tokenize_text(texts, name: str = DEFAULT_T5_NAME, max_length: int = MAX_LENGTH):
+    tok = _get_tokenizer(name)
+    if tok is not None:
+        enc = tok(texts, return_tensors="np", padding="longest",
+                  max_length=max_length, truncation=True)
+        return enc["input_ids"].astype(np.int32), enc["attention_mask"].astype(bool)
+    return _fallback_tokenize(texts, max_length)
+
+
+_ENCODERS: dict = {}
+
+
+def get_t5_encoder(name: str = DEFAULT_T5_NAME) -> T5Encoder:
+    if name not in _ENCODERS:
+        _ENCODERS[name] = T5Encoder(name)
+    return _ENCODERS[name]
+
+
+def t5_encode_text(texts, name: str = DEFAULT_T5_NAME, max_length: int = MAX_LENGTH):
+    """list[str] -> (B, L, dim) float32, padding rows zeroed
+    (API parity: reference t5.py:68-110)."""
+    enc = get_t5_encoder(name)
+    ids, mask = tokenize_text(texts, name, max_length)
+    fwd = jax.jit(lambda e, i, m: e(i, m))
+    return fwd(enc, jnp.asarray(ids), jnp.asarray(mask))

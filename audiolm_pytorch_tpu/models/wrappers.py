@@ -1,0 +1,686 @@
+"""Task wrappers: tokenize → route → loss / sample for the three LMs, plus the
+end-to-end AudioLM orchestrator.
+
+TPU-native re-design of the reference wrappers (reference: audiolm_pytorch/
+audiolm_pytorch.py:1372-2254). The headline change is generation: the
+reference drives a Python loop that re-dispatches the whole network per token
+with concat-grown KV caches (audiolm_pytorch.py:1475-1507, 1677-1706,
+1965-1994); here each `.generate` compiles ONCE into a `lax.while_loop` /
+`fori_loop` over preallocated KV caches, ids buffers and logits buffers —
+per-token work is a single device-side step with no host round-trips.
+Classifier-free guidance is batched [cond | uncond] inside the same step.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.layers import default, exists
+from ..nn.module import Module
+from ..ops.sampling import (
+    all_rows_have_eos_id, append_eos_id, batch_unique_consecutive, ceil_div,
+    generate_mask_with_prob, get_embeds, gumbel_noise, mask_out_after_eos_id,
+    prob_mask_like, top_k,
+)
+from .lm import CoarseTransformer, FineTransformer, SemanticTransformer
+from .transformer import KVCache
+
+__all__ = ["SemanticTransformerWrapper", "CoarseTransformerWrapper",
+           "FineTransformerWrapper", "masked_cross_entropy"]
+
+
+def masked_cross_entropy(logits, labels, ignore_index: int = -1):
+    """CE over valid positions (torch F.cross_entropy(ignore_index=) parity)."""
+    mask = labels != ignore_index
+    safe = jnp.where(mask, labels, 0)
+    ll = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(ll, safe[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    return jnp.sum(nll * mask) / jnp.maximum(mask.sum(), 1)
+
+
+def _sample_from_logits(key, logits, filter_thres: float, temperature: float):
+    filtered = top_k(logits, thres=filter_thres)
+    noised = filtered / max(temperature, 1e-10) + gumbel_noise(key, filtered.shape)
+    return jnp.argmax(noised, axis=-1).astype(jnp.int32)
+
+
+def _cfg_tile(x, use_cfg: bool):
+    return jnp.concatenate([x, x], axis=0) if use_cfg and x is not None else x
+
+
+def _cfg_combine(logits, cond_scale: float, use_cfg: bool):
+    if not use_cfg:
+        return logits
+    c, n = jnp.split(logits, 2, axis=0)
+    return n + (c - n) * cond_scale
+
+
+# ---------------------------------------------------------------------------
+# Semantic
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("max_length", "cond_scale",
+                                             "filter_thres", "temperature",
+                                             "use_cfg"))
+def _semantic_generate_jit(tr: SemanticTransformer, ids, text_embeds, text_mask,
+                           key, *, max_length: int, cond_scale: float,
+                           filter_thres: float, temperature: float, use_cfg: bool):
+    """One-compile semantic sampler. ids: (B, P) prompt padded with -1."""
+    b, p = ids.shape
+    pad_id = -1
+    vocab = tr.num_semantic_tokens + 1
+    bb = 2 * b if use_cfg else b
+    total = max_length + 1  # + start token
+
+    te = _cfg_tile(text_embeds, use_cfg)
+    tm = None
+    if text_mask is not None:
+        tm = jnp.concatenate([text_mask, jnp.zeros_like(text_mask)], axis=0) \
+            if use_cfg else text_mask
+    if te is not None:
+        te = tr._proj_text(te)
+
+    bias = tr.transformer.rel_pos_bias(total, total) \
+        if tr.transformer.rel_pos_bias is not None else None
+
+    cache = KVCache.create(tr.transformer.depth, bb, total, tr.transformer.dim_head)
+
+    # ---- prefill: [start] + prompt embeds --------------------------------
+    tokens = tr.embed_ids(ids)  # (B, P+1, D)
+    out, cache = tr.transformer(_cfg_tile(tokens, use_cfg), context=te,
+                                context_mask=tm, attn_bias=bias,
+                                kv_cache=cache, return_kv_cache=True)
+    logits = _cfg_combine(tr.to_logits(out), cond_scale, use_cfg)  # (B, P+1, V)
+
+    ids_buf = jnp.full((b, max_length), pad_id, jnp.int32)
+    ids_buf = ids_buf.at[:, :p].set(ids)
+    logits_buf = jnp.zeros((b, total, vocab), logits.dtype)
+    logits_buf = jax.lax.dynamic_update_slice(logits_buf, logits, (0, 0, 0))
+    last_idx = jnp.sum(ids != pad_id, axis=-1).astype(jnp.int32)
+
+    def cond_fn(state):
+        pos, ids_buf, logits_buf, last_idx, cache, key = state
+        done = jnp.all(jnp.any(ids_buf == tr.eos_id, axis=-1))
+        return (pos < max_length) & ~done
+
+    def body_fn(state):
+        pos, ids_buf, logits_buf, last_idx, cache, key = state
+        key, ks = jax.random.split(key)
+        last_logits = jnp.take_along_axis(
+            logits_buf, last_idx[:, None, None].repeat(vocab, 2), axis=1)[:, 0]
+        sampled = _sample_from_logits(ks, last_logits, filter_thres, temperature)
+        ids_buf = jax.lax.dynamic_update_slice(ids_buf, sampled[:, None], (0, pos))
+        tok = get_embeds(tr.semantic_embedding, sampled[:, None])
+        out, cache = tr.transformer(_cfg_tile(tok, use_cfg), context=te,
+                                    context_mask=tm, attn_bias=bias,
+                                    kv_cache=cache, return_kv_cache=True)
+        step_logits = _cfg_combine(tr.to_logits(out), cond_scale, use_cfg)
+        logits_buf = jax.lax.dynamic_update_slice(logits_buf, step_logits,
+                                                  (0, pos + 1, 0))
+        return pos + 1, ids_buf, logits_buf, last_idx + 1, cache, key
+
+    state = (jnp.asarray(p, jnp.int32), ids_buf, logits_buf, last_idx, cache, key)
+    _, ids_buf, _, _, _, _ = jax.lax.while_loop(cond_fn, body_fn, state)
+    return mask_out_after_eos_id(ids_buf, tr.eos_id, mask_value=pad_id,
+                                 keep_eos=False)
+
+
+class SemanticTransformerWrapper(Module):
+    """(reference: audiolm_pytorch.py:1372-1567)."""
+
+    def __init__(self, *, transformer: SemanticTransformer, wav2vec=None,
+                 audio_conditioner=None, pad_id: int = -1,
+                 unique_consecutive: bool = True, mask_prob: float = 0.15):
+        self.wav2vec = wav2vec
+        self.transformer = transformer
+        self.audio_conditioner = audio_conditioner
+        if exists(audio_conditioner):
+            assert transformer.has_condition
+        if exists(wav2vec):
+            assert wav2vec.codebook_size == transformer.num_semantic_tokens, \
+                f"num_semantic_tokens must equal wav2vec codebook size {wav2vec.codebook_size}"
+        self.unique_consecutive = unique_consecutive
+        self.pad_id = pad_id
+        self.eos_id = transformer.eos_id
+        self.mask_prob = mask_prob
+
+    def embed_text(self, text):
+        return self.transformer.embed_text(text)
+
+    def generate(self, *, max_length: int, text=None, text_embeds=None,
+                 prime_wave=None, prime_wave_input_sample_hz=None, prime_ids=None,
+                 batch_size: int = 1, cond_scale: float = 3.0,
+                 filter_thres: float = 0.9, temperature: float = 1.0,
+                 key=None, **kwargs):
+        key = default(key, jax.random.PRNGKey(0))
+        if exists(prime_wave):
+            assert not exists(prime_ids) and exists(self.wav2vec)
+            ids = self.wav2vec(prime_wave, flatten=False,
+                               input_sample_hz=prime_wave_input_sample_hz)
+        elif exists(prime_ids):
+            ids = prime_ids
+        else:
+            ids = jnp.zeros((batch_size, 0), jnp.int32)
+        if self.unique_consecutive and ids.shape[-1] > 0:
+            ids = batch_unique_consecutive(ids, pad_value=self.pad_id)
+
+        if exists(self.audio_conditioner) and exists(prime_wave):
+            assert not exists(text) and not exists(text_embeds)
+            text_embeds = self.audio_conditioner(wavs=prime_wave, namespace="semantic")
+        has_text = exists(text) or exists(text_embeds)
+        assert not (self.transformer.has_condition ^ has_text)
+        if not exists(text_embeds) and exists(text):
+            text_embeds = self.transformer.embed_text(text)
+        text_mask = jnp.any(text_embeds != 0, axis=-1) if exists(text_embeds) else None
+
+        use_cfg = (cond_scale != 1) and self.transformer.has_condition
+        ids = ids.astype(jnp.int32)
+        return _semantic_generate_jit(
+            self.transformer, ids, text_embeds, text_mask, key,
+            max_length=int(max_length), cond_scale=float(cond_scale),
+            filter_thres=float(filter_thres), temperature=float(temperature),
+            use_cfg=use_cfg)
+
+    def __call__(self, *, semantic_token_ids=None, raw_wave=None, text=None,
+                 text_embeds=None, return_loss: bool = False, train: bool = False,
+                 key=None, **kwargs):
+        assert exists(raw_wave) or exists(semantic_token_ids)
+        if exists(self.audio_conditioner):
+            assert exists(raw_wave) and not exists(text) and not exists(text_embeds)
+            text_embeds = self.audio_conditioner(wavs=raw_wave, namespace="semantic")
+        if not exists(semantic_token_ids):
+            assert exists(self.wav2vec)
+            semantic_token_ids = self.wav2vec(raw_wave, flatten=False)
+        b = semantic_token_ids.shape[0]
+        semantic_token_ids = semantic_token_ids.reshape(b, -1)
+
+        if train:
+            semantic_token_ids = append_eos_id(semantic_token_ids, self.eos_id)
+        if self.unique_consecutive:
+            semantic_token_ids = batch_unique_consecutive(semantic_token_ids,
+                                                          pad_value=self.pad_id)
+        input_ids = semantic_token_ids
+        if return_loss:
+            input_ids = semantic_token_ids[:, :-1]
+
+        self_attn_mask = None
+        mkey = ckey = None
+        if key is not None:
+            key, mkey, ckey = jax.random.split(key, 3)
+        if self.mask_prob > 0 and train:
+            self_attn_mask = generate_mask_with_prob(mkey, input_ids.shape,
+                                                     self.mask_prob)
+
+        logits = self.transformer(
+            ids=input_ids, text=text, text_embeds=text_embeds,
+            self_attn_mask=self_attn_mask, key=ckey,
+            cond_drop_prob=None if train else 0.0, **kwargs)
+        if not return_loss:
+            return logits
+        return masked_cross_entropy(logits, semantic_token_ids, self.pad_id)
+
+
+# ---------------------------------------------------------------------------
+# Coarse
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_time_steps", "num_coarse_q", "cond_scale", "filter_thres",
+    "temperature", "use_cfg"))
+def _coarse_generate_jit(tr: CoarseTransformer, semantic_ids, prime_coarse,
+                         text_embeds, text_mask, key, *, max_time_steps: int,
+                         num_coarse_q: int, cond_scale: float, filter_thres: float,
+                         temperature: float, use_cfg: bool):
+    """semantic_ids: (B, S) w/ -1 pads; prime_coarse: (B, Pc) dense."""
+    b, s = semantic_ids.shape
+    pc = prime_coarse.shape[1]
+    n_coarse_total = max_time_steps * num_coarse_q
+    total = 1 + s + 1 + n_coarse_total  # sem_start + sem + coarse_start + coarse
+    bb = 2 * b if use_cfg else b
+
+    te = _cfg_tile(text_embeds, use_cfg)
+    tm = None
+    if text_mask is not None:
+        tm = jnp.concatenate([text_mask, jnp.zeros_like(text_mask)], axis=0) \
+            if use_cfg else text_mask
+    if te is not None:
+        te = tr._proj_text(te)
+
+    bias = tr.build_attn_bias(s, total)
+    cache = KVCache.create(tr.transformer.depth, bb, total, tr.transformer.dim_head)
+
+    # prefill: [sem_start, sem, coarse_start, prime_coarse]
+    sem_tokens = get_embeds(tr.semantic_embedding, semantic_ids)
+    start_s = jnp.broadcast_to(tr.semantic_start_token, (b, 1, tr.dim))
+    start_c = jnp.broadcast_to(tr.coarse_start_token, (b, 1, tr.dim))
+    parts = [start_s, sem_tokens, start_c]
+    if pc > 0:
+        parts.append(tr.embed_coarse(prime_coarse))
+    tokens = jnp.concatenate(parts, axis=1).astype(jnp.float32)
+
+    out, cache = tr.transformer(_cfg_tile(tokens, use_cfg), context=te,
+                                context_mask=tm, attn_bias=bias,
+                                kv_cache=cache, return_kv_cache=True)
+    last_out = out[:, -1]  # (bb, D); CFG combine happens at logit level per step
+
+    coarse_buf = jnp.zeros((b, n_coarse_total), jnp.int32)
+    if pc > 0:
+        coarse_buf = coarse_buf.at[:, :pc].set(prime_coarse)
+
+    qpos_table = jnp.asarray(np.tile(np.arange(num_coarse_q),
+                                     ceil_div(n_coarse_total, num_coarse_q))
+                             [:n_coarse_total], jnp.int32)
+    offsets_table = qpos_table * (tr.codebook_size + 1)
+
+    def body_fn(i, state):
+        """i: index of the coarse token being sampled (pc..n_total-1)."""
+        coarse_buf, cache, last_out, key = state
+        key, ks = jax.random.split(key)
+        q_idx = qpos_table[i]
+        lw = jnp.take(tr.coarse_logit_weights, q_idx, axis=0)  # (C+1, D)
+        hidden = _cfg_combine(last_out, cond_scale, use_cfg)
+        logits = hidden @ lw.T.astype(hidden.dtype)  # (B, C+1)
+        # suppress EOS except at a time-step boundary after step 0
+        at_boundary = (q_idx == 0) & (i > 0)
+        logits = logits.at[:, -1].set(
+            jnp.where(at_boundary, logits[:, -1], -jnp.inf))
+        sampled = _sample_from_logits(ks, logits, filter_thres, temperature)
+        coarse_buf = jax.lax.dynamic_update_slice(coarse_buf, sampled[:, None], (0, i))
+
+        # feed the sampled token
+        offset = offsets_table[i]
+        emb = jnp.take(tr.coarse_embedding, sampled + offset, axis=0)
+        emb = emb + jnp.take(tr.coarse_quantize_embedding, q_idx, axis=0)
+        tok = emb[:, None, :]
+        out, cache = tr.transformer(_cfg_tile(tok, use_cfg), context=te,
+                                    context_mask=tm, attn_bias=bias,
+                                    kv_cache=cache, return_kv_cache=True)
+        return coarse_buf, cache, out[:, -1], key
+
+    state = (coarse_buf, cache, last_out, key)
+    coarse_buf, _, _, _ = jax.lax.fori_loop(pc, n_coarse_total, body_fn, state)
+    coarse_buf = mask_out_after_eos_id(coarse_buf, tr.coarse_eos_id,
+                                       mask_value=-1, keep_eos=False)
+    return coarse_buf.reshape(b, max_time_steps, num_coarse_q)
+
+
+class CoarseTransformerWrapper(Module):
+    """(reference: audiolm_pytorch.py:1569-1854)."""
+
+    def __init__(self, *, transformer: CoarseTransformer, codec=None, wav2vec=None,
+                 audio_conditioner=None, pad_id: int = -1,
+                 unique_consecutive: bool = True,
+                 semantic_cross_entropy_loss_weight: float = 1.0,
+                 mask_prob: float = 0.15):
+        self.codec = codec
+        self.wav2vec = wav2vec
+        self.transformer = transformer
+        self.audio_conditioner = audio_conditioner
+        self.unique_consecutive = unique_consecutive
+        self.pad_id = pad_id
+        self.semantic_cross_entropy_loss_weight = semantic_cross_entropy_loss_weight
+        self.num_coarse_quantizers = transformer.num_coarse_quantizers * \
+            (codec.rq_groups if exists(codec) else 1)
+        self.semantic_eos_id = transformer.semantic_eos_id
+        self.coarse_eos_id = transformer.coarse_eos_id
+        self.mask_prob = mask_prob
+
+    def generate(self, *, semantic_token_ids, prime_wave=None,
+                 prime_wave_input_sample_hz=None, prime_coarse_token_ids=None,
+                 text=None, text_embeds=None, max_time_steps: int = 512,
+                 cond_scale: float = 3.0, filter_thres: float = 0.9,
+                 temperature: float = 1.0, reconstruct_wave: bool = False,
+                 key=None, **kwargs):
+        key = default(key, jax.random.PRNGKey(0))
+        batch = semantic_token_ids.shape[0]
+
+        assert not (exists(prime_wave) and exists(prime_coarse_token_ids))
+        if exists(prime_coarse_token_ids):
+            coarse_token_ids = prime_coarse_token_ids.reshape(batch, -1)
+        elif exists(prime_wave):
+            assert exists(self.codec)
+            _, indices, _ = self.codec(prime_wave, return_encoded=True,
+                                       input_sample_hz=prime_wave_input_sample_hz)
+            coarse_token_ids = indices[..., :self.num_coarse_quantizers].reshape(batch, -1)
+        else:
+            coarse_token_ids = jnp.zeros((batch, 0), jnp.int32)
+
+        has_text = exists(text) or exists(text_embeds)
+        assert not (self.transformer.has_condition ^ has_text)
+        if not exists(text_embeds) and exists(text):
+            text_embeds = self.transformer.embed_text(text)
+        text_mask = jnp.any(text_embeds != 0, axis=-1) if exists(text_embeds) else None
+
+        if self.unique_consecutive:
+            semantic_token_ids = batch_unique_consecutive(semantic_token_ids,
+                                                          pad_value=self.pad_id)
+        use_cfg = (cond_scale != 1) and self.transformer.has_condition
+        sampled = _coarse_generate_jit(
+            self.transformer, semantic_token_ids.astype(jnp.int32),
+            coarse_token_ids.astype(jnp.int32), text_embeds, text_mask, key,
+            max_time_steps=int(max_time_steps),
+            num_coarse_q=int(self.num_coarse_quantizers),
+            cond_scale=float(cond_scale), filter_thres=float(filter_thres),
+            temperature=float(temperature), use_cfg=use_cfg)
+
+        if not reconstruct_wave:
+            return sampled
+        assert exists(self.codec)
+        return decode_acoustic_tokens(self.codec, sampled, pad_id=-1)
+
+    def __call__(self, *, semantic_token_ids=None, raw_wave=None,
+                 raw_wave_for_codec=None, text=None, text_embeds=None,
+                 coarse_token_ids=None, return_loss: bool = False,
+                 train: bool = False, key=None, **kwargs):
+        assert exists(raw_wave) or exists(semantic_token_ids)
+        raw_wave_for_codec = default(raw_wave_for_codec, raw_wave)
+        assert exists(raw_wave_for_codec) or exists(coarse_token_ids)
+
+        if exists(self.audio_conditioner):
+            assert exists(raw_wave) and not exists(text) and not exists(text_embeds)
+            text_embeds = self.audio_conditioner(wavs=raw_wave, namespace="coarse")
+        if not exists(semantic_token_ids):
+            assert exists(self.wav2vec)
+            semantic_token_ids = self.wav2vec(raw_wave, flatten=False)
+        if not exists(coarse_token_ids):
+            assert exists(self.codec)
+            _, indices, _ = self.codec(jax.lax.stop_gradient(raw_wave_for_codec),
+                                       return_encoded=True)
+            coarse_token_ids = indices[..., :self.num_coarse_quantizers]
+
+        b = semantic_token_ids.shape[0]
+        semantic_token_ids = semantic_token_ids.reshape(b, -1)
+        coarse_token_ids = coarse_token_ids.reshape(b, -1)
+
+        if train:
+            semantic_token_ids = append_eos_id(semantic_token_ids, self.semantic_eos_id)
+            coarse_token_ids = append_eos_id(coarse_token_ids, self.coarse_eos_id)
+        if self.unique_consecutive:
+            semantic_token_ids = batch_unique_consecutive(semantic_token_ids,
+                                                          pad_value=self.pad_id)
+
+        if return_loss:
+            semantic_labels, coarse_labels = semantic_token_ids, coarse_token_ids
+            coarse_token_ids = coarse_token_ids[:, :-1]
+
+        # mask out semantic padding / EOS from self attention
+        # (reference: audiolm_pytorch.py:1801-1805)
+        self_attn_mask = (semantic_token_ids != self.pad_id) & \
+            (semantic_token_ids != self.semantic_eos_id)
+        semantic_token_ids = jnp.where(self_attn_mask, semantic_token_ids, 0)
+        coarse_len = coarse_token_ids.shape[-1]
+        self_attn_mask = jnp.pad(self_attn_mask, ((0, 0), (1, coarse_len + 1)),
+                                 constant_values=True)
+
+        mkey = ckey = None
+        if key is not None:
+            key, mkey, ckey = jax.random.split(key, 3)
+        if self.mask_prob > 0 and train:
+            self_attn_mask = self_attn_mask & generate_mask_with_prob(
+                mkey, self_attn_mask.shape, self.mask_prob)
+
+        semantic_logits, coarse_logits = self.transformer(
+            semantic_token_ids=semantic_token_ids,
+            coarse_token_ids=coarse_token_ids, self_attn_mask=self_attn_mask,
+            text=text, text_embeds=text_embeds, key=ckey,
+            cond_drop_prob=None if train else 0.0, **kwargs)
+
+        if not return_loss:
+            return semantic_logits, coarse_logits
+
+        # loss weighting by logit counts (reference: audiolm_pytorch.py:1833-1854)
+        if self.unique_consecutive:
+            num_coarse_logits = coarse_labels.size
+            num_semantic_logits = jnp.sum(semantic_labels != self.pad_id)
+        else:
+            num_coarse_logits = coarse_logits.shape[1]
+            num_semantic_logits = semantic_logits.shape[1] if exists(semantic_logits) else 0
+
+        semantic_loss = 0.0
+        n_sem = 0
+        if self.semantic_cross_entropy_loss_weight > 0 and exists(semantic_logits):
+            n_sem = num_semantic_logits
+            semantic_loss = masked_cross_entropy(semantic_logits, semantic_labels,
+                                                 self.pad_id)
+        coarse_loss = masked_cross_entropy(coarse_logits, coarse_labels, self.pad_id)
+        return (semantic_loss * n_sem * self.semantic_cross_entropy_loss_weight +
+                coarse_loss * num_coarse_logits) / (n_sem + num_coarse_logits)
+
+
+# ---------------------------------------------------------------------------
+# Fine
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_fine_q", "num_coarse_q", "cond_scale", "filter_thres", "temperature",
+    "use_cfg"))
+def _fine_generate_jit(tr: FineTransformer, coarse_ids, prime_fine, text_embeds,
+                       text_mask, key, *, num_fine_q: int, num_coarse_q: int,
+                       cond_scale: float, filter_thres: float, temperature: float,
+                       use_cfg: bool):
+    """coarse_ids: (B, Nc) flat; prime_fine: (B, Pf) dense."""
+    b, nc = coarse_ids.shape
+    pf = prime_fine.shape[1]
+    max_time_steps = nc // num_coarse_q
+    n_fine_total = max_time_steps * num_fine_q
+    total = 1 + nc + 1 + n_fine_total
+    bb = 2 * b if use_cfg else b
+
+    te = _cfg_tile(text_embeds, use_cfg)
+    tm = None
+    if text_mask is not None:
+        tm = jnp.concatenate([text_mask, jnp.zeros_like(text_mask)], axis=0) \
+            if use_cfg else text_mask
+    if te is not None:
+        te = tr._proj_text(te)
+
+    bias = tr.build_attn_bias(nc, n_fine_total)
+    cache = KVCache.create(tr.transformer.depth, bb, total, tr.transformer.dim_head)
+
+    # coarse pad/EOS masked out of attention (reference: audiolm_pytorch.py:1173-1184)
+    coarse_ok = (coarse_ids != tr.pad_id) & (coarse_ids != tr.eos_id)
+    coarse_safe = jnp.where(coarse_ok, coarse_ids, 0)
+    key_mask = jnp.concatenate([
+        jnp.ones((b, 1), bool), coarse_ok, jnp.ones((b, 1 + n_fine_total), bool),
+    ], axis=1)
+    key_mask_t = _cfg_tile(key_mask, use_cfg)
+
+    start_c = jnp.broadcast_to(tr.coarse_start_token, (b, 1, tr.dim))
+    start_f = jnp.broadcast_to(tr.fine_start_token, (b, 1, tr.dim))
+    parts = [start_c, tr.embed_coarse(coarse_safe), start_f]
+    if pf > 0:
+        parts.append(tr.embed_fine(prime_fine))
+    tokens = jnp.concatenate(parts, axis=1).astype(jnp.float32)
+
+    out, cache = tr.transformer(_cfg_tile(tokens, use_cfg), context=te,
+                                context_mask=tm, self_attn_mask=key_mask_t,
+                                attn_bias=bias, kv_cache=cache,
+                                return_kv_cache=True)
+    last_out = out[:, -1]
+
+    fine_buf = jnp.zeros((b, n_fine_total), jnp.int32)
+    if pf > 0:
+        fine_buf = fine_buf.at[:, :pf].set(prime_fine)
+
+    qpos_table = jnp.asarray(np.tile(np.arange(num_fine_q),
+                                     ceil_div(max(n_fine_total, 1), num_fine_q))
+                             [:n_fine_total], jnp.int32)
+    offsets_table = qpos_table * tr.codebook_size
+
+    def body_fn(i, state):
+        fine_buf, cache, last_out, key = state
+        key, ks = jax.random.split(key)
+        q_idx = qpos_table[i]
+        lw = jnp.take(tr.fine_logit_weights, q_idx, axis=0)  # (C, D)
+        hidden = _cfg_combine(last_out, cond_scale, use_cfg)
+        logits = hidden @ lw.T.astype(hidden.dtype)
+        at_boundary = (q_idx == 0) & (i > 0)
+        logits = logits.at[:, -1].set(
+            jnp.where(at_boundary, logits[:, -1], -jnp.inf))
+        sampled = _sample_from_logits(ks, logits, filter_thres, temperature)
+        fine_buf = jax.lax.dynamic_update_slice(fine_buf, sampled[:, None], (0, i))
+
+        offset = offsets_table[i]
+        emb = jnp.take(tr.fine_embedding, sampled + offset, axis=0)
+        emb = emb + jnp.take(tr.fine_quantize_embedding, q_idx, axis=0)
+        out, cache = tr.transformer(_cfg_tile(emb[:, None, :], use_cfg),
+                                    context=te, context_mask=tm,
+                                    self_attn_mask=key_mask_t, attn_bias=bias,
+                                    kv_cache=cache, return_kv_cache=True)
+        return fine_buf, cache, out[:, -1], key
+
+    state = (fine_buf, cache, last_out, key)
+    fine_buf, _, _, _ = jax.lax.fori_loop(pf, n_fine_total, body_fn, state)
+    fine_buf = mask_out_after_eos_id(fine_buf, tr.eos_id, mask_value=-1,
+                                     keep_eos=False)
+    return fine_buf.reshape(b, max_time_steps, num_fine_q)
+
+
+class FineTransformerWrapper(Module):
+    """(reference: audiolm_pytorch.py:1856-2137)."""
+
+    def __init__(self, *, transformer: FineTransformer, codec=None,
+                 audio_conditioner=None, coarse_cross_entropy_loss_weight: float = 1.0,
+                 pad_id: int = -1, mask_prob: float = 0.15):
+        self.codec = codec
+        self.transformer = transformer
+        self.audio_conditioner = audio_conditioner
+        groups = codec.rq_groups if exists(codec) else 1
+        self.num_fine_quantizers = transformer.num_fine_quantizers * groups
+        self.num_coarse_quantizers = transformer.num_coarse_quantizers * groups
+        if exists(codec):
+            assert (self.num_fine_quantizers + self.num_coarse_quantizers) == \
+                codec.num_quantizers * codec.rq_groups, \
+                "coarse + fine quantizers must equal codec total"
+        assert self.num_coarse_quantizers > 0
+        self.eos_id = transformer.eos_id
+        self.pad_id = pad_id
+        self.coarse_cross_entropy_loss_weight = coarse_cross_entropy_loss_weight
+        self.mask_prob = mask_prob
+
+    def generate(self, *, coarse_token_ids, prime_wave=None,
+                 prime_wave_input_sample_hz=None, prime_fine_token_ids=None,
+                 text=None, text_embeds=None, cond_scale: float = 3.0,
+                 filter_thres: float = 0.9, temperature: float = 1.0,
+                 reconstruct_wave: bool = False,
+                 mask_out_generated_fine_tokens: bool = False, key=None, **kwargs):
+        key = default(key, jax.random.PRNGKey(0))
+        batch = coarse_token_ids.shape[0]
+        coarse_flat = coarse_token_ids.reshape(batch, -1)
+
+        has_text = exists(text) or exists(text_embeds)
+        assert not (self.transformer.has_condition ^ has_text)
+        if not exists(text_embeds) and exists(text):
+            text_embeds = self.transformer.embed_text(text)
+        text_mask = jnp.any(text_embeds != 0, axis=-1) if exists(text_embeds) else None
+
+        assert not (exists(prime_wave) and exists(prime_fine_token_ids))
+        if exists(prime_fine_token_ids):
+            fine_ids = prime_fine_token_ids.reshape(batch, -1)
+        elif exists(prime_wave):
+            assert exists(self.codec)
+            _, token_ids, _ = self.codec(prime_wave, return_encoded=True,
+                                         input_sample_hz=prime_wave_input_sample_hz)
+            fine_ids = token_ids[..., self.num_coarse_quantizers:].reshape(batch, -1)
+        else:
+            fine_ids = jnp.zeros((batch, 0), jnp.int32)
+
+        use_cfg = (cond_scale != 1) and self.transformer.has_condition
+        sampled = _fine_generate_jit(
+            self.transformer, coarse_flat.astype(jnp.int32),
+            fine_ids.astype(jnp.int32), text_embeds, text_mask, key,
+            num_fine_q=int(self.num_fine_quantizers),
+            num_coarse_q=int(self.num_coarse_quantizers),
+            cond_scale=float(cond_scale), filter_thres=float(filter_thres),
+            temperature=float(temperature), use_cfg=use_cfg)
+
+        coarse_grid = coarse_flat.reshape(batch, -1, self.num_coarse_quantizers)
+        if mask_out_generated_fine_tokens:
+            all_pad = jnp.all(coarse_grid == self.pad_id, axis=-1, keepdims=True)
+            sampled = jnp.where(all_pad, self.pad_id, sampled)
+
+        if not reconstruct_wave:
+            return sampled
+        assert exists(self.codec)
+        both = jnp.concatenate([coarse_grid, sampled], axis=-1)
+        return decode_acoustic_tokens(self.codec, both, pad_id=self.pad_id)
+
+    def __call__(self, *, raw_wave=None, text=None, text_embeds=None,
+                 token_ids=None, coarse_token_ids=None, fine_token_ids=None,
+                 return_loss: bool = False, train: bool = False, key=None, **kwargs):
+        assert exists(raw_wave) or exists(token_ids) or \
+            (exists(coarse_token_ids) and exists(fine_token_ids))
+        if exists(self.audio_conditioner):
+            assert exists(raw_wave) and not exists(text) and not exists(text_embeds)
+            text_embeds = self.audio_conditioner(wavs=raw_wave, namespace="fine")
+        if exists(raw_wave):
+            assert exists(self.codec)
+            _, token_ids, _ = self.codec(jax.lax.stop_gradient(raw_wave),
+                                         return_encoded=True)
+        if exists(token_ids):
+            coarse_token_ids = token_ids[..., :self.num_coarse_quantizers]
+            fine_token_ids = token_ids[..., self.num_coarse_quantizers:]
+
+        b = coarse_token_ids.shape[0]
+        coarse_token_ids = coarse_token_ids.reshape(b, -1)
+        fine_token_ids = fine_token_ids.reshape(b, -1)
+
+        if return_loss:
+            coarse_labels = coarse_token_ids
+            fine_labels = fine_token_ids
+            fine_token_ids = fine_token_ids[:, :-1]
+
+        self_attn_mask = None
+        mkey = ckey = None
+        if key is not None:
+            key, mkey, ckey = jax.random.split(key, 3)
+        if self.mask_prob > 0 and train:
+            mask_shape = (b, coarse_token_ids.shape[-1] + fine_token_ids.shape[-1] + 2)
+            self_attn_mask = generate_mask_with_prob(mkey, mask_shape, self.mask_prob)
+
+        coarse_logits, fine_logits = self.transformer(
+            coarse_token_ids, fine_token_ids, self_attn_mask=self_attn_mask,
+            text=text, text_embeds=text_embeds, key=ckey,
+            cond_drop_prob=None if train else 0.0, **kwargs)
+
+        if not return_loss:
+            return coarse_logits, fine_logits
+
+        num_fine_logits = fine_logits.shape[1]
+        num_coarse_logits = 0
+        coarse_loss = 0.0
+        if self.coarse_cross_entropy_loss_weight > 0 and exists(coarse_logits):
+            num_coarse_logits = coarse_logits.shape[1]
+            coarse_loss = masked_cross_entropy(coarse_logits, coarse_labels,
+                                               self.pad_id)
+        fine_loss = masked_cross_entropy(fine_logits, fine_labels, self.pad_id)
+        return (coarse_loss * num_coarse_logits * self.coarse_cross_entropy_loss_weight +
+                fine_loss * num_fine_logits) / (num_coarse_logits + num_fine_logits)
+
+
+# ---------------------------------------------------------------------------
+# shared decode helper (variable-length safe)
+# ---------------------------------------------------------------------------
+
+def decode_acoustic_tokens(codec, token_grid, pad_id: int = -1):
+    """token_grid: (B, N, Q). If no padding: one batched decode. With padding
+    (variable lengths): per-row decode, list of waveforms
+    (reference: audiolm_pytorch.py:1716-1740, 2018-2038)."""
+    has_pad = bool(jnp.any(token_grid == pad_id))
+    if not has_pad:
+        return codec.decode_from_codebook_indices(token_grid)
+    wavs = []
+    grid = np.asarray(token_grid)
+    for row in grid:
+        keep = ~np.any(row == pad_id, axis=-1)
+        if not keep.any():
+            wavs.append(None)
+            continue
+        ids = jnp.asarray(row[keep])[None]
+        wavs.append(codec.decode_from_codebook_indices(ids)[0])
+    return wavs

@@ -275,6 +275,39 @@ def partition_trainable(module):
     return tree_util.tree_unflatten(treedef, a), tree_util.tree_unflatten(treedef, b)
 
 
+def _buffer_leaf_flags(tree, in_buffer=False, out=None):
+    if out is None:
+        out = []
+    if isinstance(tree, Buffer):
+        _buffer_leaf_flags(tree.value, True, out)
+    elif isinstance(tree, Module):
+        _, dv, _, _ = tree._split_fields()
+        for v in dv:
+            _buffer_leaf_flags(v, in_buffer, out)
+    elif isinstance(tree, (list, tuple)):
+        for v in tree:
+            _buffer_leaf_flags(v, in_buffer, out)
+    elif isinstance(tree, dict):
+        for k in sorted(tree):
+            _buffer_leaf_flags(tree[k], in_buffer, out)
+    elif tree is None:
+        pass
+    else:
+        out.append(in_buffer)
+    return out
+
+
+def partition_buffers(module):
+    """Split into (buffer leaves, everything else) — for merging functional
+    state updates (VQ-EMA codebooks) back into an optimizer-updated model."""
+    flags = _buffer_leaf_flags(module)
+    leaves, treedef = tree_util.tree_flatten(module)
+    assert len(flags) == len(leaves)
+    a = [x if f else None for f, x in zip(flags, leaves)]
+    b = [None if f else x for f, x in zip(flags, leaves)]
+    return tree_util.tree_unflatten(treedef, a), tree_util.tree_unflatten(treedef, b)
+
+
 def partition_trainable_where(module, path_pred):
     """Like partition_trainable, but a leaf is only trainable when
     `path_pred(path_str)` is also True, where path_str is the dotted attribute

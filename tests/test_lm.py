@@ -1,0 +1,146 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiolm_pytorch_tpu.models.lm import (CoarseTransformer, FineTransformer,
+                                           SemanticTransformer)
+from audiolm_pytorch_tpu.models.wrappers import (
+    CoarseTransformerWrapper, FineTransformerWrapper,
+    SemanticTransformerWrapper, masked_cross_entropy)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def make_semantic(**kw):
+    kwargs = dict(dim=32, depth=2, heads=2, dim_head=16, num_semantic_tokens=20,
+                  num_residual_streams=1, key=KEY)
+    kwargs.update(kw)
+    return SemanticTransformer(**kwargs)
+
+
+def make_coarse(**kw):
+    kwargs = dict(dim=32, depth=2, heads=2, dim_head=16, num_semantic_tokens=20,
+                  codebook_size=16, num_coarse_quantizers=3,
+                  num_residual_streams=1, key=KEY)
+    kwargs.update(kw)
+    return CoarseTransformer(**kwargs)
+
+
+def make_fine(**kw):
+    kwargs = dict(dim=32, depth=2, heads=2, dim_head=16, codebook_size=16,
+                  num_coarse_quantizers=3, num_fine_quantizers=5,
+                  num_residual_streams=1, key=KEY)
+    kwargs.update(kw)
+    return FineTransformer(**kwargs)
+
+
+def test_semantic_forward_shapes():
+    st = make_semantic()
+    ids = jax.random.randint(KEY, (2, 10), 0, 20)
+    logits = st(ids=ids)
+    assert logits.shape == (2, 11, 21)  # start token prepended, vocab+eos
+    loss_logits = st(ids=ids, return_loss=True)
+    assert loss_logits.shape == (2, 10, 21)
+
+
+def test_semantic_cfg_matches_manual():
+    st = make_semantic(has_condition=True, cond_dim=8)
+    ids = jax.random.randint(KEY, (2, 6), 0, 20)
+    te = jax.random.normal(KEY, (2, 4, 8))
+    scaled = st.forward_with_cond_scale(ids=ids, text_embeds=te, cond_scale=2.0)
+    tm = jnp.any(te != 0, axis=-1)
+    cond = st(ids=ids, text_embeds=te, text_mask=tm, cond_drop_prob=0.0)
+    null = st(ids=ids, text_embeds=te, text_mask=jnp.zeros_like(tm), cond_drop_prob=0.0)
+    manual = null + (cond - null) * 2.0
+    np.testing.assert_allclose(np.asarray(scaled), np.asarray(manual),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_coarse_forward_shapes():
+    ct = make_coarse()
+    sem = jax.random.randint(KEY, (2, 8), 0, 20)
+    coarse = jax.random.randint(KEY, (2, 9), 0, 16)  # 3 timesteps x 3 q
+    sem_logits, coarse_logits = ct(semantic_token_ids=sem, coarse_token_ids=coarse)
+    assert sem_logits.shape == (2, 8, 21)
+    assert coarse_logits.shape == (2, 10, 17)  # coarse_start + 9 positions, cb+eos
+
+
+def test_fine_forward_shapes():
+    ft = make_fine()
+    coarse = jax.random.randint(KEY, (2, 6), 0, 16)  # 2 timesteps x 3 q
+    fine = jax.random.randint(KEY, (2, 10), 0, 16)  # 2 timesteps x 5 q
+    coarse_logits, fine_logits = ft(coarse, fine)
+    assert coarse_logits.shape == (2, 6, 16)
+    assert fine_logits.shape == (2, 11, 16)
+
+
+def test_masked_cross_entropy():
+    logits = jnp.zeros((1, 3, 4))
+    labels = jnp.asarray([[1, 2, -1]])
+    loss = masked_cross_entropy(logits, labels, -1)
+    np.testing.assert_allclose(float(loss), np.log(4.0), rtol=1e-5)
+
+
+def test_semantic_wrapper_loss_and_generate():
+    st = make_semantic()
+    w = SemanticTransformerWrapper(transformer=st)
+    ids = jax.random.randint(KEY, (2, 12), 0, 20)
+    loss = w(semantic_token_ids=ids, return_loss=True, train=True, key=KEY)
+    assert jnp.isfinite(loss)
+    out = w.generate(max_length=8, batch_size=2, prime_ids=ids[:, :3], key=KEY)
+    assert out.shape == (2, 8)
+    assert int(out.max()) <= 20
+
+
+def test_semantic_generate_unconditional_from_scratch():
+    st = make_semantic()
+    w = SemanticTransformerWrapper(transformer=st)
+    out = w.generate(max_length=6, batch_size=3, key=KEY)
+    assert out.shape == (3, 6)
+
+
+def test_semantic_generate_with_cfg():
+    st = make_semantic(has_condition=True, cond_dim=8)
+    w = SemanticTransformerWrapper(transformer=st)
+    te = jax.random.normal(KEY, (2, 4, 8))
+    out = w.generate(max_length=6, batch_size=2, text_embeds=te, cond_scale=3.0,
+                     key=KEY)
+    assert out.shape == (2, 6)
+
+
+def test_coarse_wrapper_generate():
+    ct = make_coarse()
+    w = CoarseTransformerWrapper(transformer=ct)
+    sem = jax.random.randint(KEY, (2, 8), 0, 20)
+    out = w.generate(semantic_token_ids=sem, max_time_steps=4, key=KEY)
+    assert out.shape == (2, 4, 3)
+    assert int(out.max()) <= 16
+
+
+def test_fine_wrapper_generate():
+    ft = make_fine()
+    w = FineTransformerWrapper(transformer=ft)
+    coarse = jax.random.randint(KEY, (2, 4, 3), 0, 16)
+    out = w.generate(coarse_token_ids=coarse, key=KEY)
+    assert out.shape == (2, 4, 5)
+
+
+def test_coarse_wrapper_loss():
+    ct = make_coarse()
+    w = CoarseTransformerWrapper(transformer=ct)
+    sem = jax.random.randint(KEY, (2, 8), 0, 20)
+    coarse = jax.random.randint(KEY, (2, 4, 3), 0, 16)
+    loss = w(semantic_token_ids=sem, coarse_token_ids=coarse, return_loss=True,
+             train=True, key=KEY)
+    assert jnp.isfinite(loss)
+
+
+def test_fine_wrapper_loss():
+    ft = make_fine()
+    w = FineTransformerWrapper(transformer=ft)
+    coarse = jax.random.randint(KEY, (2, 4, 3), 0, 16)
+    fine = jax.random.randint(KEY, (2, 4, 5), 0, 16)
+    loss = w(coarse_token_ids=coarse, fine_token_ids=fine, return_loss=True,
+             train=True, key=KEY)
+    assert jnp.isfinite(loss)
