@@ -162,11 +162,12 @@ class HubertWithKmeans(Module):
                  kmeans_path: Optional[str] = None, *,
                  target_sample_hz: int = 16000, seq_len_multiple_of: Optional[int] = None,
                  output_layer: int = 9, codebook_size: int = 500,
-                 dim: int = 768, num_layers: int = 12,
+                 dim: int = 768, num_layers: int = 12, heads: int = 12,
                  key: Optional[jax.Array] = None):
         key = key if key is not None else jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(key)
-        self.encoder = HubertEncoder(dim=dim, layers=num_layers, key=k1)
+        self.encoder = HubertEncoder(dim=dim, layers=num_layers, heads=heads,
+                                     key=k1)
         self.output_layer = output_layer
         self.target_sample_hz = target_sample_hz
         self.seq_len_multiple_of = seq_len_multiple_of

@@ -239,7 +239,9 @@ def _coarse_generate_jit(tr: CoarseTransformer, semantic_ids, prime_coarse,
     """semantic_ids: (B, S) w/ -1 pads; prime_coarse: (B, Pc) dense."""
     b, s = semantic_ids.shape
     pc = prime_coarse.shape[1]
-    n_coarse_total = max_time_steps * num_coarse_q
+    # the reference appends max_time_steps*Q tokens BEYOND any prime
+    # (audiolm_pytorch.py:1670-1677: loop always runs [0, max_time_steps))
+    n_coarse_total = pc + max_time_steps * num_coarse_q
     total = 1 + s + 1 + n_coarse_total  # sem_start + sem + coarse_start + coarse
     bb = 2 * b if use_cfg else b
 
@@ -306,7 +308,7 @@ def _coarse_generate_jit(tr: CoarseTransformer, semantic_ids, prime_coarse,
     coarse_buf, _, _, _ = jax.lax.fori_loop(pc, n_coarse_total, body_fn, state)
     coarse_buf = mask_out_after_eos_id(coarse_buf, tr.coarse_eos_id,
                                        mask_value=-1, keep_eos=False)
-    return coarse_buf.reshape(b, max_time_steps, num_coarse_q)
+    return coarse_buf.reshape(b, n_coarse_total // num_coarse_q, num_coarse_q)
 
 
 class CoarseTransformerWrapper(Module):
