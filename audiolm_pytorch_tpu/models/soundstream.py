@@ -387,6 +387,7 @@ class SoundStream(Module):
         complex_stft_discr_logits_abs: bool = True,
         pad_mode: str = "reflect",
         complex_stft_discr_kwargs: dict | None = None,
+        multi_scale_discr_kwargs: dict | None = None,
         key: jax.Array,
     ):
         # self-describing config (reference: soundstream.py:503-506)
@@ -394,6 +395,7 @@ class SoundStream(Module):
                if k not in ("self", "key", "__class__")}
         cfg["rq_kwargs"] = dict(rq_kwargs or {})
         cfg["complex_stft_discr_kwargs"] = dict(complex_stft_discr_kwargs or {})
+        cfg["multi_scale_discr_kwargs"] = dict(multi_scale_discr_kwargs or {})
         for tk in ("strides", "channel_mults", "discr_multi_scales",
                    "enc_cycle_dilations", "dec_cycle_dilations",
                    "multi_spectral_window_powers_of_two"):
@@ -485,8 +487,10 @@ class SoundStream(Module):
 
         # discriminators (grouped under .discrs for G/D param partitioning)
         self.discr_multi_scales = tuple(discr_multi_scales)
-        self.discriminators = [MultiScaleDiscriminator(key=jax.random.fold_in(keys[7], i))
-                               for i in range(len(discr_multi_scales))]
+        self.discriminators = [
+            MultiScaleDiscriminator(key=jax.random.fold_in(keys[7], i),
+                                    **(multi_scale_discr_kwargs or {}))
+            for i in range(len(discr_multi_scales))]
         rel = [int(s1 / s2) for s1, s2 in zip(self.discr_multi_scales[:-1],
                                               self.discr_multi_scales[1:])]
         self.downsample_factors = tuple(rel)  # avg-pool factor before discr i+1

@@ -52,6 +52,22 @@ __all__ = ["SoundStreamTrainer", "SemanticTransformerTrainer",
            "CoarseTransformerTrainer", "FineTransformerTrainer"]
 
 
+def _none_leaf(x):
+    return x is None
+
+
+def _tree_zeros_like(tree):
+    return jax.tree_util.tree_map(
+        lambda p: None if p is None else jnp.zeros_like(p), tree,
+        is_leaf=_none_leaf)
+
+
+def _tree_acc(acc, grads, scale):
+    return jax.tree_util.tree_map(
+        lambda a, g: a if g is None else a + g * scale, acc, grads,
+        is_leaf=_none_leaf)
+
+
 def checkpoint_num_steps(path) -> int:
     """Parse the step count from a checkpoint filename
     (reference: trainer.py:150-161)."""
@@ -250,15 +266,11 @@ class SoundStreamTrainer(_TrainerBase):
                 gacc, _ = carry
                 wave, k = inp
                 loss, bd, bufs, grads = one_micro(params, rest, wave, k)
-                gacc = jax.tree_util.tree_map(
-                    lambda a, g: a + g / accum, gacc, grads,
-                    is_leaf=lambda x: x is None)
+                gacc = _tree_acc(gacc, grads, 1.0 / accum)
                 return (gacc, bufs), (loss, bd)
 
-            zero_grads = jax.tree_util.tree_map(
-                lambda p: jnp.zeros_like(p) if p is not None else None, params,
-                is_leaf=lambda x: x is None)
-            _, bufs0 = partition_buffers(combine(params, rest).rq)
+            zero_grads = _tree_zeros_like(params)
+            bufs0, _ = partition_buffers(combine(params, rest).rq)
             keys = jax.random.split(key, accum)
             (grads, bufs), (losses, bds) = jax.lax.scan(
                 scan_body, (zero_grads, bufs0), (waves, keys))
@@ -294,14 +306,10 @@ class SoundStreamTrainer(_TrainerBase):
                     return model(wave, key=k, return_discr_loss=True,
                                  apply_grad_penalty=apply_gp, axis_name=axis)
                 loss, grads = jax.value_and_grad(loss_fn)(params)
-                gacc = jax.tree_util.tree_map(
-                    lambda a, g: a + g / accum, gacc, grads,
-                    is_leaf=lambda x: x is None)
+                gacc = _tree_acc(gacc, grads, 1.0 / accum)
                 return gacc, loss
 
-            zero_grads = jax.tree_util.tree_map(
-                lambda p: jnp.zeros_like(p) if p is not None else None, params,
-                is_leaf=lambda x: x is None)
+            zero_grads = _tree_zeros_like(params)
             keys = jax.random.split(key, accum)
             grads, losses = jax.lax.scan(scan_body, zero_grads, (waves, keys))
             if axis is not None:
@@ -440,14 +448,10 @@ class _TransformerTrainerBase(_TrainerBase):
                     wrapper = combine(p, rest)
                     return wrapper(**micro, return_loss=True, train=True, key=k)
                 loss, grads = jax.value_and_grad(loss_fn)(params)
-                gacc = jax.tree_util.tree_map(
-                    lambda a, g: a + g / accum, gacc, grads,
-                    is_leaf=lambda x: x is None)
+                gacc = _tree_acc(gacc, grads, 1.0 / accum)
                 return gacc, loss
 
-            zero = jax.tree_util.tree_map(
-                lambda p: jnp.zeros_like(p) if p is not None else None, params,
-                is_leaf=lambda x: x is None)
+            zero = _tree_zeros_like(params)
             keys = jax.random.split(key, accum)
             grads, losses = jax.lax.scan(scan_body, zero, (batch, keys))
             if axis is not None:

@@ -23,6 +23,12 @@ def tiny_soundstream(key=None, **overrides):
         multi_spectral_window_powers_of_two=(6, 7),
         multi_spectral_n_ffts=128,
         multi_spectral_n_mels=32,
+        multi_scale_discr_kwargs=dict(channels=4, layers=2, groups=(1, 2),
+                                      chan_max=32),
+        complex_stft_discr_kwargs=dict(channels=4, n_fft=128, hop_length=32,
+                                       win_length=128,
+                                       strides=((1, 2), (2, 2)),
+                                       chan_mults=(1, 2)),
         key=key if key is not None else jax.random.PRNGKey(0),
     )
     kwargs.update(overrides)

@@ -1,0 +1,112 @@
+"""Trainer smoke tests mirroring the reference demo notebook: synthetic
+sine-wave dataset on disk, a few steps of each of the four trainers
+(reference test strategy: SURVEY.md §4, audiolm_pytorch_demo.ipynb cells 6-16)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audiolm_pytorch_tpu import (CoarseTransformer, CoarseTransformerTrainer,
+                                 FineTransformer, FineTransformerTrainer,
+                                 HubertWithKmeans, SemanticTransformer,
+                                 SemanticTransformerTrainer, SoundStreamTrainer)
+from audiolm_pytorch_tpu.utils.audio_io import save_audio
+from tests.test_soundstream import tiny_soundstream
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def sine_folder(tmp_path_factory):
+    folder = tmp_path_factory.mktemp("sines")
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        freq = rng.uniform(200, 800)
+        t = np.arange(2048) / 16000.0
+        wav = 0.5 * np.sin(2 * np.pi * freq * t).astype(np.float32)
+        save_audio(folder / f"sine_{i}.wav", wav, 16000)
+    return folder
+
+
+@pytest.fixture(scope="module")
+def tiny_wav2vec():
+    return HubertWithKmeans(dim=48, num_layers=1, heads=4, output_layer=1,
+                            codebook_size=20, key=KEY)
+
+
+def test_soundstream_trainer(sine_folder, tmp_path):
+    ss = tiny_soundstream()
+    trainer = SoundStreamTrainer(
+        ss, folder=str(sine_folder), batch_size=2, grad_accum_every=2,
+        num_train_steps=2, data_max_length=1024, save_results_every=2,
+        save_model_every=2, results_folder=str(tmp_path / "results"),
+        warmup_steps=1, apply_grad_penalty_every=2, data_parallel=False)
+    logs = trainer.train_step()
+    assert np.isfinite(logs["loss"]) and np.isfinite(logs["discr_loss"])
+    logs2 = trainer.train_step()  # hits grad-penalty + save cadence
+    assert trainer.steps == 2
+    ckpts = list((tmp_path / "results").glob("soundstream.*.ckpt.npz"))
+    assert len(ckpts) == 1
+    samples = list((tmp_path / "results").glob("sample.*.wav"))
+    assert len(samples) >= 1
+    # resume round-trip
+    trainer.load(ckpts[0])
+    assert trainer.steps == 3
+
+
+def test_semantic_trainer(sine_folder, tmp_path, tiny_wav2vec):
+    st = SemanticTransformer(num_semantic_tokens=tiny_wav2vec.codebook_size,
+                             dim=32, depth=1, heads=2, dim_head=16,
+                             num_residual_streams=1, key=KEY)
+    trainer = SemanticTransformerTrainer(
+        st, tiny_wav2vec, folder=str(sine_folder), batch_size=2,
+        grad_accum_every=2, num_train_steps=2, data_max_length=2048,
+        save_results_every=2, save_model_every=2,
+        results_folder=str(tmp_path / "results"), data_parallel=False)
+    logs = trainer.train_step()
+    assert np.isfinite(logs["loss"])
+    trainer.train_step()
+    assert (tmp_path / "results" / "metrics.jsonl").exists()
+
+
+def test_coarse_trainer(sine_folder, tmp_path, tiny_wav2vec):
+    codec = tiny_soundstream()
+    ct = CoarseTransformer(num_semantic_tokens=tiny_wav2vec.codebook_size,
+                           codebook_size=codec.codebook_size,
+                           num_coarse_quantizers=3, dim=32, depth=1, heads=2,
+                           dim_head=16, num_residual_streams=1, key=KEY)
+    trainer = CoarseTransformerTrainer(
+        ct, codec=codec, wav2vec=tiny_wav2vec, folder=str(sine_folder),
+        batch_size=2, grad_accum_every=1, num_train_steps=1,
+        data_max_length=1024, results_folder=str(tmp_path / "results"),
+        data_parallel=False)
+    logs = trainer.train_step()
+    assert np.isfinite(logs["loss"])
+
+
+def test_fine_trainer(sine_folder, tmp_path):
+    codec = tiny_soundstream()
+    ft = FineTransformer(num_coarse_quantizers=3, num_fine_quantizers=1,
+                         codebook_size=codec.codebook_size, dim=32, depth=1,
+                         heads=2, dim_head=16, num_residual_streams=1, key=KEY)
+    trainer = FineTransformerTrainer(
+        ft, codec=codec, folder=str(sine_folder), batch_size=2,
+        grad_accum_every=1, num_train_steps=1, data_max_length=1024,
+        results_folder=str(tmp_path / "results"), data_parallel=False)
+    logs = trainer.train_step()
+    assert np.isfinite(logs["loss"])
+
+
+def test_semantic_trainer_data_parallel(sine_folder, tmp_path, tiny_wav2vec):
+    """DP over the 8-device CPU mesh: grads pmean'd via shard_map."""
+    st = SemanticTransformer(num_semantic_tokens=tiny_wav2vec.codebook_size,
+                             dim=32, depth=1, heads=2, dim_head=16,
+                             num_residual_streams=1, key=KEY)
+    trainer = SemanticTransformerTrainer(
+        st, tiny_wav2vec, folder=str(sine_folder), batch_size=8,
+        grad_accum_every=1, num_train_steps=1, data_max_length=2048,
+        results_folder=str(tmp_path / "results"), data_parallel=True)
+    assert trainer.mesh is not None
+    logs = trainer.train_step()
+    assert np.isfinite(logs["loss"])
