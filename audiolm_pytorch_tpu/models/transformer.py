@@ -182,8 +182,8 @@ class Attention(Module):
                     attn_bias, (0, cache_pos, 0),
                     (attn_bias.shape[0], n, max_len))
         else:
-            if exists(mask):
-                mask = mask[:, None, None, :]
+            key_mask = mask  # (B, M) or None; kept flat for the flash path
+            mask = None
 
         # null key/values for classifier-free guidance
         # (reference: audiolm_pytorch.py:374-377)
@@ -194,14 +194,28 @@ class Attention(Module):
                                   (b, self.num_null_kv, self.dim_head))
             k = jnp.concatenate([nk, k], axis=1)
             v = jnp.concatenate([nv, v], axis=1)
-            if exists(mask):
-                mask = jnp.pad(mask, ((0, 0), (0, 0), (0, 0),
-                                      (self.num_null_kv, 0)), constant_values=True)
+            if cache_kv is not None:
+                if exists(mask):
+                    mask = jnp.pad(mask, ((0, 0), (0, 0), (0, 0),
+                                          (self.num_null_kv, 0)),
+                                   constant_values=True)
+            elif exists(key_mask):
+                key_mask = jnp.pad(key_mask, ((0, 0), (self.num_null_kv, 0)),
+                                   constant_values=True)
             if exists(attn_bias):
                 attn_bias = jnp.pad(attn_bias, ((0, 0), (0, 0), (self.num_null_kv, 0)))
 
-        out = attend(q, k[:, None], v[:, None], mask=mask, attn_bias=attn_bias,
-                     causal=causal)
+        if cache_kv is None and self.flash:
+            # pallas flash kernel: O(N) memory, keeps the additive bias
+            # (the reference must drop rel-pos bias under flash, attend.py:112)
+            from ..ops.pallas.flash_attention import flash_attention
+            out = flash_attention(q, k[:, None], v[:, None], bias=attn_bias,
+                                  key_mask=key_mask, causal=causal)
+        else:
+            if cache_kv is None and exists(key_mask):
+                mask = key_mask[:, None, None, :]
+            out = attend(q, k[:, None], v[:, None], mask=mask,
+                         attn_bias=attn_bias, causal=causal)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, -1)
         out = self.to_out(out)
         out = maybe_dropout(out, self.dropout, key)

@@ -1,0 +1,288 @@
+"""Flash attention (online-softmax, blocked) with ADDITIVE BIAS support.
+
+The reference's flash path cannot take a positional bias (reference:
+attend.py:112 asserts `not exists(attn_bias)` under flash) and so disables
+rel-pos entirely when flash is on (audiolm_pytorch.py:430). This kernel keeps
+both: O(N) memory attention AND the continuous rel-pos bias.
+
+Design (pallas_guide.md patterns):
+  * grid = (B*H, num_q_blocks, num_kv_blocks) — the kv axis is innermost and
+    TPU grids execute sequentially, so the online-softmax running state
+    (m, l, acc) lives in VMEM scratch persisted across kv steps.
+  * q/k/v tiles are (BQ, D) / (BK, D) in VMEM; matmuls hit the MXU with fp32
+    accumulation; softmax statistics are fp32 regardless of input dtype.
+  * causal blocks strictly above the diagonal are skipped with @pl.when.
+  * supports MQA: k/v carry one shared head (broadcast over the H grid).
+
+Falls back to the XLA math path (ops.attention.attend) for tiny shapes.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_attention"]
+
+_NEG_INF = -1e30
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, kmask_ref, o_ref,
+            m_scratch, l_scratch, acc_scratch, *, causal: bool, scale: float,
+            block_q: int, block_k: int, num_k_blocks: int):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, _NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    def compute():
+        q = q_ref[0].astype(jnp.float32) * scale  # (BQ, D)
+        k = k_ref[0].astype(jnp.float32)          # (BK, D)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # (BQ, BK)
+        if bias_ref is not None:
+            s = s + bias_ref[0].astype(jnp.float32)
+        if kmask_ref is not None:
+            s = jnp.where(kmask_ref[0][None, :] != 0, s, _NEG_INF)
+        if causal:
+            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            k_pos = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(k_pos <= q_pos, s, _NEG_INF)
+
+        m_prev = m_scratch[:]          # (BQ, 1)
+        l_prev = l_scratch[:]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)         # (BQ, BK)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0].astype(jnp.float32)
+        pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_scratch[:] = acc_scratch[:] * alpha + pv
+        m_scratch[:] = m_new
+        l_scratch[:] = l_new
+
+    if causal:
+        # skip blocks strictly above the diagonal
+        @pl.when(ki * block_k <= qi * block_q + block_q - 1)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        l = l_scratch[:]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scratch[:] / safe_l).astype(o_ref.dtype)
+
+
+def _flash_bh(q, k, v, bias, kmask, *, causal: bool, scale: float,
+              block_q: int, block_k: int, interpret: bool):
+    """q: (BH, N, D); k, v: (BH, M, D); bias: (Hb, N, M) or None with
+    Hb dividing BH (indexed modulo — shared across batch, no broadcast);
+    kmask: (Bk, M) int8 or None with Bk dividing BH (indexed by b // h)."""
+    bh, n, d = q.shape
+    m = k.shape[1]
+    nq = pl.cdiv(n, block_q)
+    nk = pl.cdiv(m, block_k)
+
+    kv_group = bh // k.shape[0]  # MQA: kv shared across heads, indexed b // group
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b // kv_group, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b // kv_group, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    if bias is not None:
+        hb = bias.shape[0]
+        in_specs.append(pl.BlockSpec((1, block_q, block_k),
+                                     lambda b, i, j: (b % hb, i, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias)
+    if kmask is not None:
+        h_per_b = bh // kmask.shape[0]
+        in_specs.append(pl.BlockSpec((1, block_k),
+                                     lambda b, i, j: (b // h_per_b, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(kmask)
+
+    kernel = functools.partial(
+        _kernel_dispatch, has_bias=bias is not None, has_kmask=kmask is not None,
+        causal=causal, scale=scale, block_q=block_q, block_k=block_k,
+        num_k_blocks=nk)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, nq, nk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+
+
+def _kernel_dispatch(*refs, has_bias, has_kmask, **kw):
+    idx = 3
+    bias_ref = refs[idx] if has_bias else None
+    idx += 1 if has_bias else 0
+    kmask_ref = refs[idx] if has_kmask else None
+    idx += 1 if has_kmask else 0
+    o_ref = refs[idx]
+    m_s, l_s, acc_s = refs[idx + 1: idx + 4]
+    _kernel(refs[0], refs[1], refs[2], bias_ref, kmask_ref, o_ref,
+            m_s, l_s, acc_s, **kw)
+
+
+def _math_reference(q, k, v, bias, key_mask, causal, scale):
+    """Same semantics as the kernel, in plain XLA — used as the backward
+    (flash fwd + math bwd until the dedicated backward kernel lands)."""
+    qf = q.astype(jnp.float32) * scale
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    if k.shape[1] == 1 and q.shape[1] > 1:
+        sim = jnp.einsum("bhnd,bkmd->bhnm", qf, kf)
+    else:
+        sim = jnp.einsum("bhnd,bhmd->bhnm", qf, kf)
+    if bias is not None:
+        sim = sim + (bias if bias.ndim == 4 else bias[None]).astype(jnp.float32)
+    if key_mask is not None:
+        sim = jnp.where(key_mask[:, None, None, :], sim, _NEG_INF)
+    if causal:
+        n, m = sim.shape[-2:]
+        cm = jnp.tril(jnp.ones((n, m), bool), k=m - n)
+        sim = jnp.where(cm, sim, _NEG_INF)
+    attn = jax.nn.softmax(sim, axis=-1)
+    if v.shape[1] == 1 and q.shape[1] > 1:
+        out = jnp.einsum("bhnm,bkmd->bhnd", attn, vf)
+    else:
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, vf)
+    return out.astype(q.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_vjp_fn(causal, scale, block_q, block_k, interpret, has_bias, has_kmask):
+    @jax.custom_vjp
+    def f(q, k, v, bias, key_mask):
+        return _flash_forward(q, k, v, bias=bias, key_mask=key_mask,
+                              causal=causal, scale=scale, block_q=block_q,
+                              block_k=block_k, interpret=interpret)
+
+    def fwd(q, k, v, bias, key_mask):
+        return f(q, k, v, bias, key_mask), (q, k, v, bias, key_mask)
+
+    def bwd(res, g):
+        q, k, v, bias, key_mask = res
+        diff = (q, k, v) if bias is None else (q, k, v, bias)
+
+        def ref(*args):
+            if bias is None:
+                qq, kk, vv = args
+                bb = None
+            else:
+                qq, kk, vv, bb = args
+            return _math_reference(qq, kk, vv, bb, key_mask, causal, scale)
+
+        _, vjp = jax.vjp(ref, *diff)
+        grads = vjp(g)
+        if bias is None:
+            dq, dk, dv = grads
+            dbias = None
+        else:
+            dq, dk, dv, dbias = grads
+        return dq, dk, dv, dbias, None
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def flash_attention(q, k, v, *, bias=None, key_mask=None, causal: bool = False,
+                    scale: float | None = None, block_q: int = 128,
+                    block_k: int = 128, interpret: bool | None = None):
+    """Differentiable entry: pallas forward, math backward (custom VJP)."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else d ** -0.5
+    if interpret is None:
+        from . import on_tpu
+        interpret = not on_tpu()
+    fn = _make_vjp_fn(causal, float(scale), block_q, block_k, interpret,
+                      bias is not None, key_mask is not None)
+    return fn(q, k, v, bias, key_mask)
+
+
+def _flash_forward(q, k, v, *, bias=None, key_mask=None, causal: bool = False,
+                   scale: float | None = None, block_q: int = 128,
+                   block_k: int = 128, interpret: bool | None = None):
+    """q: (B, H, N, D); k, v: (B, Hk, M, D), Hk in {1, H} (MQA broadcast).
+    bias: (H, N, M) or (B, H, N, M) additive. key_mask: (B, M) bool, True=keep.
+    Returns (B, H, N, D).
+
+    Sequence lengths are padded to the block size internally; padded keys are
+    masked, padded query rows are sliced away.
+    """
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    scale = scale if scale is not None else d ** -0.5
+    if interpret is None:
+        from . import on_tpu
+        interpret = not on_tpu()
+
+    block_q = min(block_q, max(16, 1 << (n - 1).bit_length()))
+    block_k = min(block_k, max(16, 1 << (m - 1).bit_length()))
+    pad_n = (-n) % block_q
+    pad_m = (-m) % block_k
+
+    hk = k.shape[1]
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad_n), (0, 0))) if pad_n else q
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad_m), (0, 0))) if pad_m else k
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad_m), (0, 0))) if pad_m else v
+    np_, mp_ = n + pad_n, m + pad_m
+
+    qf = qp.reshape(b * h, np_, d)
+    # MQA: kv stays un-broadcast (B*Hk, M, D); the kernel indexes it b // group
+    kf = kp.reshape(b * hk, mp_, d)
+    vf = vp.reshape(b * hk, mp_, d)
+
+    bias_f = None
+    if bias is not None:
+        # keep bias (H, N, M) un-broadcast: the kernel indexes it modulo H,
+        # so batch never multiplies HBM traffic
+        if bias.ndim == 4:
+            bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pad_n), (0, pad_m)))
+            bias_f = bias.reshape(b * h, np_, mp_).astype(jnp.float32)
+        else:
+            bias = jnp.pad(bias, ((0, 0), (0, pad_n), (0, pad_m)))
+            bias_f = bias.astype(jnp.float32)
+
+    km = key_mask
+    if km is None and pad_m:
+        km = jnp.ones((b, m), bool)
+    kmask_f = None
+    if km is not None:
+        km = jnp.pad(km, ((0, 0), (0, pad_m)))
+        kmask_f = km.astype(jnp.int8)  # (B, M), kernel indexes by b // h
+
+    out = _flash_bh(qf, kf, vf, bias_f, kmask_f, causal=causal, scale=scale,
+                    block_q=block_q, block_k=block_k, interpret=interpret)
+    out = out.reshape(b, h, np_, d)
+    return out[:, :, :n]

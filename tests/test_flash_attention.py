@@ -1,0 +1,93 @@
+"""Flash-attention kernel parity vs the XLA math path (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiolm_pytorch_tpu.ops.attention import attend
+from audiolm_pytorch_tpu.ops.pallas.flash_attention import flash_attention
+
+KEY = jax.random.PRNGKey(0)
+
+
+def make_qkv(b=2, h=4, n=64, m=64, d=32, mqa=False):
+    k1, k2, k3 = jax.random.split(KEY, 3)
+    q = jax.random.normal(k1, (b, h, n, d))
+    hk = 1 if mqa else h
+    k = jax.random.normal(k2, (b, hk, m, d))
+    v = jax.random.normal(k3, (b, hk, m, d))
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_matches_math(causal):
+    q, k, v = make_qkv()
+    ref = attend(q, k, v, causal=causal)
+    out = flash_attention(q, k, v, causal=causal, block_q=32, block_k=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_with_bias():
+    q, k, v = make_qkv(n=32, m=32)
+    bias = 0.5 * jax.random.normal(KEY, (4, 32, 32))
+    ref = attend(q, k, v, attn_bias=bias, causal=True)
+    out = flash_attention(q, k, v, bias=bias, causal=True, block_q=16, block_k=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_mqa_and_key_mask():
+    q, k, v = make_qkv(mqa=True, n=48, m=48)
+    mask = jnp.ones((2, 48), bool).at[1, 30:].set(False)
+    ref = attend(q, k, v, mask=mask[:, None, None, :], causal=True)
+    out = flash_attention(q, k, v, key_mask=mask, causal=True, block_q=16,
+                          block_k=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_unaligned_lengths():
+    q, k, v = make_qkv(n=50, m=50)
+    ref = attend(q, k, v, causal=True)
+    out = flash_attention(q, k, v, causal=True, block_q=16, block_k=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_grads_match_math():
+    q, k, v = make_qkv(n=32, m=32, mqa=True)
+    bias = 0.3 * jax.random.normal(KEY, (4, 32, 32))
+
+    def loss_flash(q, k, v, bias):
+        return jnp.sum(flash_attention(q, k, v, bias=bias, causal=True,
+                                       block_q=16, block_k=16) ** 2)
+
+    def loss_math(q, k, v, bias):
+        return jnp.sum(attend(q, k, v, attn_bias=bias, causal=True) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g2 = jax.grad(loss_math, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2,
+                                   atol=1e-3)
+
+
+def test_flash_transformer_matches_math_transformer():
+    from audiolm_pytorch_tpu.models.transformer import Transformer
+    from audiolm_pytorch_tpu.nn.module import evolve
+    tr = Transformer(dim=32, depth=2, heads=4, dim_head=8,
+                     num_residual_streams=1, flash_attn=False,
+                     key=jax.random.PRNGKey(3))
+    x = jax.random.normal(KEY, (2, 24, 32))
+    ref = tr(x)
+    tr_flash = jax.tree_util.tree_map(lambda a: a, tr)
+    for layer in tr_flash.layers:
+        object.__setattr__(layer[1], "flash", True)
+    out = tr_flash(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-3,
+                               atol=5e-3)
+
+
+def test_flash_bf16():
+    q, k, v = (t.astype(jnp.bfloat16) for t in make_qkv())
+    ref = attend(q, k, v, causal=True)
+    out = flash_attention(q, k, v, causal=True, block_q=32, block_k=32)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2)
