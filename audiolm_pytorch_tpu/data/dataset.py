@@ -72,13 +72,22 @@ class SoundDataset:
     def __len__(self):
         return len(self.files)
 
-    def __getitem__(self, idx):
-        file = self.files[idx]
+    def _load_mono(self, file):
+        """Decode + downmix, via the native C++ loader when available."""
+        if Path(file).suffix.lower() == ".wav":
+            from . import native_loader
+            if native_loader.native_available():
+                length, rate, _ = native_loader.probe(file)
+                out, _, _ = native_loader.load_batch([file], length)
+                return out[0], rate
         data, sample_hz = load_audio(file)
-
         if data.shape[0] > 1:
             data = np.mean(data, axis=0, keepdims=True)  # mono downmix (:76-78)
-        data = data[0]
+        return data[0], sample_hz
+
+    def __getitem__(self, idx):
+        file = self.files[idx]
+        data, sample_hz = self._load_mono(file)
 
         # resample to the highest target rate first (:82-87)
         data = _resample_np(data, sample_hz, self.max_target_sample_hz)
