@@ -166,9 +166,34 @@ class _TrainerBase:
         batches = [np.pad(b, ((0, 0), (0, width - b.shape[-1]))) for b in batches]
         return np.stack(batches)
 
+    def wandb_tracker(self, *, project: str, run: str | None = None,
+                      hps: dict | None = None):
+        """Context manager enabling wandb tracking for the enclosed training
+        (API parity: reference trainer.py:521-537)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            try:
+                import wandb
+            except Exception as e:  # pragma: no cover
+                raise RuntimeError("wandb not available") from e
+            wandb.init(project=project, name=run, config=hps or {})
+            self.metrics.wandb_run = wandb
+            try:
+                yield self
+            finally:
+                self.metrics.wandb_run = None
+                wandb.finish()
+        return cm()
+
     def train(self):
+        from ..utils.profiling import StepTimer
+        timer = StepTimer()
         while self.steps < self.num_train_steps:
-            logs = self.train_step()
+            with timer:
+                logs = self.train_step()
+            logs.update(timer.summary())
             self.print(f"{self.steps}: " + " | ".join(
                 f"{k} {v:.4f}" for k, v in logs.items() if isinstance(v, float)))
         self.print("training complete")
@@ -423,20 +448,35 @@ class _TransformerTrainerBase(_TrainerBase):
             self.wrapper, lambda p: not _frozen_path(p))
         self.opt_state = self.tx.init(params)
         self.key = jax.random.PRNGKey(seed)
-        self._step = self._build_step()
+        self._step_cache = {}
         self._valid_step = self._build_valid_step()
 
     def _build_dataset(self, folder, **kwargs):
         raise NotImplementedError
 
     def _batch_to_kwargs(self, batch):
-        """Route dataset tuple fields to wrapper kwargs by declared order
-        (reference routes by runtime type, trainer.py:79-89, 902-907)."""
+        """Route dataset tuple fields to wrapper kwargs by runtime type,
+        like the reference's DATASET_FIELD_TYPE_CONFIG routing
+        (reference: trainer.py:79-89, 902-907): string fields -> `text`,
+        array fields -> the declared wave/token fields in order."""
         if not isinstance(batch, tuple):
             batch = (batch,)
-        return dict(zip(self.wrapper_field_order, batch))
+        kwargs = {}
+        wave_fields = iter(self.wrapper_field_order)
+        for field in batch:
+            if isinstance(field, list) and field and isinstance(field[0], str):
+                kwargs["text"] = field
+            else:
+                kwargs[next(wave_fields)] = field
+        return kwargs
 
-    def _build_step(self):
+    def _get_step(self, batch_keys):
+        key = tuple(sorted(batch_keys))
+        if key not in self._step_cache:
+            self._step_cache[key] = self._build_step(key)
+        return self._step_cache[key]
+
+    def _build_step(self, batch_keys):
         tx = self.tx
         accum = self.grad_accum_every
         axis = data_axis_name if self.mesh is not None else None
@@ -461,7 +501,7 @@ class _TransformerTrainerBase(_TrainerBase):
             return params, opt_state, jnp.mean(losses)
 
         if self.mesh is not None:
-            batch_spec = {k: P(None, data_axis_name) for k in self.wrapper_field_order}
+            batch_spec = {k: P(None, data_axis_name) for k in batch_keys}
             step = jax.shard_map(
                 step, mesh=self.mesh,
                 in_specs=(P(), P(), P(), batch_spec, P()),
@@ -473,16 +513,25 @@ class _TransformerTrainerBase(_TrainerBase):
             return wrapper(**batch, return_loss=True, train=False, key=key)
         return jax.jit(step)
 
+    def _embed_text_batch(self, texts):
+        """Host-side frozen T5 encode of (accum*B) captions -> (accum, B, L, D)."""
+        embeds = self.wrapper.transformer.embed_text(texts)
+        a = self.grad_accum_every
+        return np.asarray(embeds).reshape(a, len(texts) // a, *embeds.shape[1:])
+
     def train_step(self):
         self.key, k1 = jax.random.split(self.key)
         batch = self._stack_accum(self.dl_iter)
         kwargs = self._batch_to_kwargs(batch)
-        kwargs = {k: v for k, v in kwargs.items() if not isinstance(v, list)}
+        texts = kwargs.pop("text", None)
+        if texts is not None:
+            kwargs["text_embeds"] = self._embed_text_batch(texts)
         batch_dev = self._device_put_batch(tuple(kwargs.values()))
         batch_kwargs = dict(zip(kwargs.keys(), batch_dev))
 
         params, rest = partition_trainable_where(
             self.wrapper, lambda p: not _frozen_path(p))
+        self._step = self._get_step(batch_kwargs.keys())
         params, self.opt_state, loss = self._step(
             params, rest, self.opt_state, batch_kwargs, k1)
         self.wrapper = combine(params, rest)
@@ -495,8 +544,11 @@ class _TransformerTrainerBase(_TrainerBase):
             self.key, kv = jax.random.split(self.key)
             vbatch = next(self.valid_dl_iter)
             vkwargs = self._batch_to_kwargs(vbatch)
-            vkwargs = {k: jnp.asarray(v) for k, v in vkwargs.items()
-                       if not isinstance(v, list)}
+            vtexts = vkwargs.pop("text", None)
+            if vtexts is not None:
+                vkwargs["text_embeds"] = np.asarray(
+                    self.wrapper.transformer.embed_text(vtexts))
+            vkwargs = {k: jnp.asarray(v) for k, v in vkwargs.items()}
             vloss = float(self._valid_step(self.wrapper, vkwargs, kv))
             logs["valid_loss"] = vloss
             self.metrics.log(self.steps, valid_loss=vloss)

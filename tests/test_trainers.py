@@ -98,6 +98,37 @@ def test_fine_trainer(sine_folder, tmp_path):
     assert np.isfinite(logs["loss"])
 
 
+class MockTextAudioDataset:
+    """Text-conditioned dataset contract (reference README.md:306-336):
+    returns (caption, audio) tuples; the trainer routes fields by type."""
+
+    def __init__(self, length=4, audio_len=2048):
+        self.length = length
+        self.audio_len = audio_len
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(idx)
+        audio = rng.uniform(-0.5, 0.5, self.audio_len).astype(np.float32)
+        return f"a caption number {idx}", audio
+
+
+def test_semantic_trainer_text_conditioned(tmp_path, tiny_wav2vec):
+    st = SemanticTransformer(num_semantic_tokens=tiny_wav2vec.codebook_size,
+                             dim=32, depth=1, heads=2, dim_head=16,
+                             has_condition=True, cond_dim=512,
+                             t5_name="google/t5-v1_1-small",
+                             num_residual_streams=1, key=KEY)
+    trainer = SemanticTransformerTrainer(
+        st, tiny_wav2vec, dataset=MockTextAudioDataset(), batch_size=2,
+        grad_accum_every=2, num_train_steps=1,
+        results_folder=str(tmp_path / "results"), data_parallel=False)
+    logs = trainer.train_step()
+    assert np.isfinite(logs["loss"])
+
+
 def test_semantic_trainer_data_parallel(sine_folder, tmp_path, tiny_wav2vec):
     """DP over the 8-device CPU mesh: grads pmean'd via shard_map."""
     st = SemanticTransformer(num_semantic_tokens=tiny_wav2vec.codebook_size,
