@@ -136,11 +136,17 @@ class VectorQuantizeEMA(Module):
     def encode(self, x, *, key=None):
         """x: (..., D) -> int32 indices (...,)."""
         flat = x.reshape(-1, self.dim)
-        dist = _sq_dist(flat, self.codebook.value)
         if self.stochastic_sample_codes and key is not None:
+            dist = _sq_dist(flat, self.codebook.value)
             idx = jnp.argmax(-dist + gumbel_noise(key, dist.shape), axis=-1)
         else:
-            idx = jnp.argmin(dist, axis=-1)
+            from .pallas import on_tpu
+            cb = self.codebook.value
+            if on_tpu() and flat.shape[0] >= 8 and cb.size * 4 <= 8 * 2 ** 20:
+                from .pallas.vq import vq_nearest_code
+                idx = vq_nearest_code(flat, cb)
+            else:
+                idx = jnp.argmin(_sq_dist(flat, cb), axis=-1)
         return idx.reshape(x.shape[:-1]).astype(jnp.int32)
 
     def decode(self, indices):
