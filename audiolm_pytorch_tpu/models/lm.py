@@ -56,6 +56,22 @@ def _process_text_condition(text, text_embeds, text_mask, proj, has_condition,
     return text_embeds, text_mask
 
 
+def _load_lm(model, path):
+    """Load a saved LM checkpoint into `model`, returning the new module
+    (functional analog of reference .load, audiolm_pytorch.py:627-638; accepts
+    both bare-model checkpoints and trainer checkpoints {'model':..., 'opt':...})."""
+    from ..training.checkpoint import load_checkpoint, load_pytree_into
+    from ..version import __version__
+    pkg = load_checkpoint(path)
+    if pkg.get("version") and pkg["version"] != __version__:
+        print(f"model checkpoint was written by version {pkg['version']} "
+              f"(current {__version__})")
+    try:
+        return load_pytree_into(path, model)
+    except ValueError:
+        return load_pytree_into(path, model, prefix="['model']")
+
+
 def _tile_offsets(num_q: int, length: int, stride: int):
     """[0, stride, 2*stride, ...] cycling over quantizers, length `length`."""
     reps = ceil_div(length, num_q)
@@ -121,6 +137,10 @@ class SemanticTransformer(Module):
 
     def embed_text(self, text):
         return t5_encode_text(text, name=self.t5_name)
+
+    def load(self, path):
+        """Return a new module with weights loaded from `path`."""
+        return _load_lm(self, path)
 
     def _proj_text(self, t):
         return self.proj_text_embed(t) if self.proj_text_embed is not None else t
@@ -256,6 +276,10 @@ class CoarseTransformer(Module):
 
     def embed_text(self, text):
         return t5_encode_text(text, name=self.t5_name)
+
+    def load(self, path):
+        """Return a new module with weights loaded from `path`."""
+        return _load_lm(self, path)
 
     def _proj_text(self, t):
         return self.proj_text_embed(t) if self.proj_text_embed is not None else t
@@ -455,6 +479,10 @@ class FineTransformer(Module):
 
     def embed_text(self, text):
         return t5_encode_text(text, name=self.t5_name)
+
+    def load(self, path):
+        """Return a new module with weights loaded from `path`."""
+        return _load_lm(self, path)
 
     def _proj_text(self, t):
         return self.proj_text_embed(t) if self.proj_text_embed is not None else t

@@ -388,6 +388,7 @@ class SoundStream(Module):
         pad_mode: str = "reflect",
         complex_stft_discr_kwargs: dict | None = None,
         multi_scale_discr_kwargs: dict | None = None,
+        compute_dtype: str = "float32",
         key: jax.Array,
     ):
         # self-describing config (reference: soundstream.py:503-506)
@@ -508,6 +509,7 @@ class SoundStream(Module):
                                       (win / 2) ** 0.5))
         self.stft_normalized = stft_normalized
 
+        self.compute_dtype = compute_dtype
         self.recon_loss_weight = recon_loss_weight
         self.multi_spectral_recon_loss_weight = multi_spectral_recon_loss_weight
         self.adversarial_loss_weight = adversarial_loss_weight
@@ -535,7 +537,10 @@ class SoundStream(Module):
         return x
 
     def encode_frames(self, x):
-        """waveform (B, T) -> pre-quantization embeddings (B, T/DS, D)."""
+        """waveform (B, T) -> pre-quantization embeddings (B, T/DS, D).
+        Activations run in `compute_dtype` (bf16 halves HBM traffic on the
+        conv stacks; RVQ distances stay fp32 regardless)."""
+        x = x.astype(jnp.dtype(self.compute_dtype))
         h = self.encoder_init(x[..., None])
         for block in self.encoder_blocks:
             h = block(h) if not isinstance(block, GateLoop) else h + block(h)
@@ -548,6 +553,7 @@ class SoundStream(Module):
         """quantized embeddings (B, N, D) -> waveform (B, N*DS)."""
         if quantize:
             x, *_ = self.rq(x, train=False)
+        x = x.astype(jnp.dtype(self.compute_dtype))
         if self.decoder_attn is not None:
             x = self.decoder_attn(x)
         h = self.decoder_init(x)
@@ -726,6 +732,23 @@ class SoundStream(Module):
         from ..version import __version__
         save_checkpoint(path, self, config=dict(self.configs), version=__version__,
                         kind="SoundStream")
+
+    def load(self, path):
+        """Return a new module with weights from `path` — accepts bare-model,
+        trainer, and EMA-bearing trainer checkpoints, preferring EMA weights
+        like the reference (soundstream.py:745-752)."""
+        from ..training.checkpoint import load_pytree_into
+        for prefix in ("['ema'].shadow", "['model']", ""):
+            try:
+                return load_pytree_into(path, self, prefix=prefix)
+            except ValueError:
+                continue
+        raise ValueError(f"no loadable SoundStream weights found in {path}")
+
+    def load_from_trainer_saved_obj(self, path):
+        """(API parity: reference soundstream.py:754-758)."""
+        from ..training.checkpoint import load_pytree_into
+        return load_pytree_into(path, self, prefix="['model']")
 
     @classmethod
     def init_and_load_from(cls, path):

@@ -48,20 +48,29 @@ def save_pytree(path, tree, extra_meta: dict | None = None):
             json.dumps(_to_jsonable(meta)).encode(), dtype=np.uint8), **arrays)
 
 
-def load_pytree_into(path, tree):
+def load_pytree_into(path, tree, prefix: str = ""):
     """Load leaves saved by save_pytree into the structure of `tree`
-    (shapes/dtypes must match; names are checked)."""
+    (shapes/dtypes must match; names are checked). With `prefix`, only saved
+    leaves under that key-path prefix are used (e.g. load just the model out
+    of a trainer checkpoint saved as {'model': ..., 'opt': ...})."""
     with np.load(path) as data:
         meta = json.loads(bytes(data["__meta__"].tobytes()).decode())
-        saved = [data[f"leaf_{i}"] for i in range(len(meta["leaf_names"]))]
+        saved_names = meta["leaf_names"]
+        if prefix:
+            sel = [(i, n[len(prefix):]) for i, n in enumerate(saved_names)
+                   if n.startswith(prefix)]
+        else:
+            sel = list(enumerate(saved_names))
+        saved = {n: data[f"leaf_{i}"] for i, n in sel}
     names, leaves, treedef = _leaves_with_names(tree)
-    if names != meta["leaf_names"]:
-        missing = set(meta["leaf_names"]) - set(names)
-        extra = set(names) - set(meta["leaf_names"])
+    if sorted(names) != sorted(saved.keys()):
+        missing = set(saved.keys()) - set(names)
+        extra = set(names) - set(saved.keys())
         raise ValueError(
-            f"checkpoint structure mismatch: missing={sorted(missing)[:5]} "
-            f"extra={sorted(extra)[:5]}")
-    new_leaves = [jax.numpy.asarray(s, dtype=l.dtype) for s, l in zip(saved, leaves)]
+            f"checkpoint structure mismatch (prefix={prefix!r}): "
+            f"missing={sorted(missing)[:5]} extra={sorted(extra)[:5]}")
+    new_leaves = [jax.numpy.asarray(saved[n], dtype=l.dtype)
+                  for n, l in zip(names, leaves)]
     return tree_util.tree_unflatten(treedef, new_leaves)
 
 

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 def main():
     from audiolm_pytorch_tpu.models.soundstream import AudioLMSoundStream
 
-    codec = AudioLMSoundStream(codebook_size=1024, key=jax.random.PRNGKey(0))
+    codec = AudioLMSoundStream(codebook_size=1024, compute_dtype="bfloat16",
+                               key=jax.random.PRNGKey(0))
 
     batch = 8
     seconds = 2.0
