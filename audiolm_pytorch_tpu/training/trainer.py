@@ -83,6 +83,38 @@ def _discr_path(p: str) -> bool:
     return p.startswith(("discriminators", "stft_discriminator"))
 
 
+class _Subset:
+    def __init__(self, ds, indices):
+        self.ds = ds
+        self.indices = list(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.ds[self.indices[i]]
+
+
+def split_dataset(ds, valid_frac: float, seed: int = 0):
+    """Random train/valid split (reference: trainer.py:360-380 random_split)."""
+    import random as _random
+    n = len(ds)
+    n_valid = max(1, int(n * valid_frac)) if valid_frac > 0 else 0
+    idx = list(range(n))
+    _random.Random(seed).shuffle(idx)
+    if n_valid == 0 or n_valid >= n:
+        return ds, ds
+    return _Subset(ds, idx[n_valid:]), _Subset(ds, idx[:n_valid])
+
+
+def barrier(tag: str = "checkpoint"):
+    """Cross-host sync (reference: accelerator.wait_for_everyone,
+    trainer.py:661-702)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(tag)
+
+
 class _MetricWriter:
     def __init__(self, folder: Path, use_wandb: bool = False):
         self.path = Path(folder) / "metrics.jsonl"
@@ -244,8 +276,10 @@ class SoundStreamTrainer(_TrainerBase):
                 folder, target_sample_hz=soundstream.target_sample_hz,
                 max_length=data_max_length,
                 seq_len_multiple_of=soundstream.seq_len_multiple_of, seed=seed)
-        self.ds = dataset
-        self.valid_ds = val_dataset if val_dataset is not None else dataset
+        if val_dataset is not None:
+            self.ds, self.valid_ds = dataset, val_dataset
+        else:
+            self.ds, self.valid_ds = split_dataset(dataset, valid_frac, seed)
         self.dl_iter = iter(get_dataloader(self.ds, batch_size=batch_size))
         self.valid_dl_iter = iter(get_dataloader(self.valid_ds, batch_size=batch_size))
 
@@ -376,8 +410,11 @@ class SoundStreamTrainer(_TrainerBase):
 
         if self.is_main and self.steps % self.save_results_every == 0:
             self._dump_samples()
-        if self.is_main and self.steps % self.save_model_every == 0:
-            self.save(self.results_folder / f"soundstream.{self.steps}.ckpt.npz")
+        if self.steps % self.save_model_every == 0:
+            barrier("pre-save")
+            if self.is_main:
+                self.save(self.results_folder / f"soundstream.{self.steps}.ckpt.npz")
+            barrier("post-save")
         return logs
 
     def _dump_samples(self):
@@ -423,7 +460,8 @@ class _TransformerTrainerBase(_TrainerBase):
                  grad_accum_every=1, warmup_steps=0, cosine_decay=False,
                  save_results_every=100, save_model_every=1000,
                  results_folder="./results", use_wandb_tracking=False,
-                 data_parallel=True, seed=42, dataset_kwargs=None, name="lm"):
+                 data_parallel=True, seed=42, valid_frac=0.05,
+                 dataset_kwargs=None, name="lm"):
         super().__init__(results_folder=results_folder,
                          num_train_steps=num_train_steps, batch_size=batch_size,
                          grad_accum_every=grad_accum_every,
@@ -436,9 +474,9 @@ class _TransformerTrainerBase(_TrainerBase):
         if dataset is None:
             assert exists(folder)
             dataset = self._build_dataset(folder, **(dataset_kwargs or {}))
-        self.ds = dataset
+        self.ds, self.valid_ds = split_dataset(dataset, valid_frac, seed)
         self.dl_iter = iter(get_dataloader(self.ds, batch_size=batch_size))
-        self.valid_dl_iter = iter(get_dataloader(self.ds, batch_size=batch_size))
+        self.valid_dl_iter = iter(get_dataloader(self.valid_ds, batch_size=batch_size))
 
         self.tx = get_optimizer(lr, wd, warmup_steps=warmup_steps,
                                 total_steps=num_train_steps,
@@ -553,8 +591,12 @@ class _TransformerTrainerBase(_TrainerBase):
             logs["valid_loss"] = vloss
             self.metrics.log(self.steps, valid_loss=vloss)
             self.print(f"{self.steps}: valid loss {vloss:.4f}")
-        if self.is_main and self.steps % self.save_model_every == 0:
-            self.save(self.results_folder / f"{self.name}.transformer.{self.steps}.ckpt.npz")
+        if self.steps % self.save_model_every == 0:
+            barrier("pre-save")
+            if self.is_main:
+                self.save(self.results_folder /
+                          f"{self.name}.transformer.{self.steps}.ckpt.npz")
+            barrier("post-save")
         return logs
 
     def save(self, path):
