@@ -315,12 +315,14 @@ class ResidualVQ(Module):
         return idx
 
     def get_output_from_indices(self, indices):
-        """indices: (B, N, Q) with -1 for dropped/padded -> (B, N, D)."""
+        """indices: (B, N, Q') with -1 for dropped/padded -> (B, N, D).
+        Q' may be < num_quantizers (e.g. decoding from coarse codes only,
+        reference: coarse wrapper decode at audiolm_pytorch.py:1716-1724)."""
         cbs = self.codebooks  # (Q, C, D)
         safe = jnp.where(indices < 0, 0, indices)
         # per-quantizer gather (Q is small; each take is one HBM-friendly gather)
         out = 0.0
-        for qi in range(self.num_quantizers):
+        for qi in range(min(self.num_quantizers, indices.shape[-1])):
             emb = jnp.take(cbs[qi], safe[..., qi], axis=0)
             out = out + jnp.where((indices[..., qi] >= 0)[..., None], emb, 0.0)
         return out
@@ -484,7 +486,7 @@ class ResidualLFQ(Module):
 
     def get_output_from_indices(self, indices):
         out = 0.0
-        for qi, layer in enumerate(self.layers):
+        for qi, layer in enumerate(self.layers[: indices.shape[-1]]):
             idx = indices[..., qi]
             emb = layer.decode(jnp.where(idx < 0, 0, idx))
             out = out + jnp.where((idx >= 0)[..., None], emb, 0.0)
@@ -609,7 +611,8 @@ class ResidualFSQ(Module):
 
     def get_output_from_indices(self, indices):
         out = 0.0
-        for qi, (layer, scale) in enumerate(zip(self.layers, self._scales())):
+        for qi, (layer, scale) in enumerate(
+                zip(self.layers[: indices.shape[-1]], self._scales())):
             idx = indices[..., qi]
             emb = layer.decode(jnp.where(idx < 0, 0, idx)) * scale
             out = out + jnp.where((idx >= 0)[..., None], emb, 0.0)

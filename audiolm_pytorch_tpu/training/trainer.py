@@ -157,6 +157,18 @@ class _TrainerBase:
             assert batch_size % self.mesh.shape[data_axis_name] == 0, \
                 f"batch_size {batch_size} not divisible by data-parallel size"
 
+    def resume_latest(self, pattern: str = "*.ckpt.npz"):
+        """Resume from the newest checkpoint in results_folder, if any —
+        recovery story for preempted jobs (the reference requires a manual
+        trainer.load(path), SURVEY.md §5 failure-detection note)."""
+        ckpts = sorted(self.results_folder.glob(pattern),
+                       key=checkpoint_num_steps)
+        if not ckpts:
+            return False
+        self.load(ckpts[-1])
+        self.print(f"resumed from {ckpts[-1]} at step {self.steps}")
+        return True
+
     @property
     def is_main(self):
         return jax.process_index() == 0
