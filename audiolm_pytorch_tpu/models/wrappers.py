@@ -669,20 +669,34 @@ class FineTransformerWrapper(Module):
 # shared decode helper (variable-length safe)
 # ---------------------------------------------------------------------------
 
-def decode_acoustic_tokens(codec, token_grid, pad_id: int = -1):
+def decode_acoustic_tokens(codec, token_grid, pad_id: int = -1,
+                           length_bucket: int = 64):
     """token_grid: (B, N, Q). If no padding: one batched decode. With padding
     (variable lengths): per-row decode, list of waveforms
-    (reference: audiolm_pytorch.py:1716-1740, 2018-2038)."""
+    (reference: audiolm_pytorch.py:1716-1740, 2018-2038).
+
+    Row lengths are padded up to a multiple of `length_bucket` frames before
+    decoding, then the waveform is trimmed to the true length — exact for the
+    causal decoder, and it caps the number of distinct decode shapes XLA has
+    to compile to N/length_bucket instead of one per length."""
     has_pad = bool(jnp.any(token_grid == pad_id))
     if not has_pad:
         return codec.decode_from_codebook_indices(token_grid)
     wavs = []
     grid = np.asarray(token_grid)
+    ds = codec.downsample_factor
     for row in grid:
         keep = ~np.any(row == pad_id, axis=-1)
-        if not keep.any():
+        n_true = int(keep.sum())
+        if n_true == 0:
             wavs.append(None)
             continue
-        ids = jnp.asarray(row[keep])[None]
-        wavs.append(codec.decode_from_codebook_indices(ids)[0])
+        ids = row[keep]
+        n_pad = min((-n_true) % length_bucket, grid.shape[1] - n_true)
+        if n_pad:
+            # repeat the final frame's codes; causal decode makes the first
+            # n_true*ds output samples independent of the padding
+            ids = np.concatenate([ids, np.repeat(ids[-1:], n_pad, axis=0)])
+        wav = codec.decode_from_codebook_indices(jnp.asarray(ids)[None])[0]
+        wavs.append(wav[: n_true * ds])
     return wavs
