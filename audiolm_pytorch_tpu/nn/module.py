@@ -329,3 +329,17 @@ def partition_trainable_where(module, path_pred):
 def tree_size(tree) -> int:
     """Total number of array elements in a pytree."""
     return sum(x.size for x in tree_util.tree_leaves(tree) if _is_array(x))
+
+
+def cast_floats(tree, dtype):
+    """Cast float32 leaves to `dtype` (e.g. bf16 for inference: layers upcast
+    through fp32 accumulation/softmax internally, so this halves HBM weight
+    traffic in decode loops without touching the math-sensitive paths)."""
+    import jax.numpy as jnp
+
+    def cast(x):
+        if _is_array(x) and x.dtype == jnp.float32:
+            return x.astype(dtype)
+        return x
+
+    return tree_util.tree_map(cast, tree)

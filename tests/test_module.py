@@ -80,6 +80,16 @@ def test_evolve():
         evolve(m, nope=1)
 
 
+def test_cast_floats():
+    from audiolm_pytorch_tpu.nn.module import cast_floats
+    m = Toy(jax.random.PRNGKey(0))
+    m16 = cast_floats(m, jnp.bfloat16)
+    assert m16.lin.weight.dtype == jnp.bfloat16
+    assert m16.counter.value.dtype == jnp.int32  # non-floats untouched
+    x = jnp.ones((2, 4), jnp.bfloat16)
+    assert m16(x).dtype == jnp.bfloat16
+
+
 def test_layers_shapes():
     key = jax.random.PRNGKey(1)
     ff = FeedForward(16, key=key)
