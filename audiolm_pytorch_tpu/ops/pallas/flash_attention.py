@@ -51,7 +51,7 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, kmask_ref, o_ref,
         if bias_ref is not None:
             s = s + bias_ref[0].astype(jnp.float32)
         if kmask_ref is not None:
-            s = jnp.where(kmask_ref[0][None, :] != 0, s, _NEG_INF)
+            s = jnp.where(kmask_ref[0, 0][None, :] != 0, s, _NEG_INF)
         if causal:
             q_pos = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
@@ -116,10 +116,12 @@ def _flash_bh(q, k, v, bias, kmask, *, causal: bool, scale: float,
         args.append(bias)
     if kmask is not None:
         h_per_b = bh // kmask.shape[0]
-        in_specs.append(pl.BlockSpec((1, block_k),
-                                     lambda b, i, j: (b // h_per_b, j),
+        # (B, 1, M) layout: TPU requires the 2nd-to-last block dim to divide 8
+        # or equal the array dim — the singleton middle dim satisfies that
+        in_specs.append(pl.BlockSpec((1, 1, block_k),
+                                     lambda b, i, j: (b // h_per_b, 0, j),
                                      memory_space=pltpu.VMEM))
-        args.append(kmask)
+        args.append(kmask[:, None, :])
 
     kernel = functools.partial(
         _kernel_dispatch, has_bias=bias is not None, has_kmask=kmask is not None,
