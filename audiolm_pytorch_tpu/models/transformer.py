@@ -276,6 +276,7 @@ class Transformer(Module):
         self.dim_context = default(dim_context, dim)
         self.cond_as_self_attn_prefix = cond_as_self_attn_prefix
         self.grad_shrink_alpha = grad_shrink_alpha
+        self.ff_dropout = ff_dropout
         self.depth = depth
         self.heads = heads
         self.dim_head = dim_head
@@ -397,7 +398,7 @@ class Transformer(Module):
 
             def ff_branch(inp, _fkey=fkey):
                 out = ff(inp)
-                return maybe_dropout(out, 0.0, _fkey)
+                return maybe_dropout(out, self.ff_dropout, _fkey)
 
             if hc_f is not None:
                 h = hc_f(h, ff_branch)
