@@ -31,7 +31,7 @@ __all__ = ["flash_attention"]
 _NEG_INF = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, kmask_ref, o_ref,
+def _kernel(q_ref, k_ref, v_ref, bias_ref, kmask_ref, o_ref, lse_ref,
             m_scratch, l_scratch, acc_scratch, *, causal: bool, scale: float,
             block_q: int, block_k: int, num_k_blocks: int):
     qi = pl.program_id(1)
@@ -86,6 +86,7 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, kmask_ref, o_ref,
         l = l_scratch[:]
         safe_l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scratch[:] / safe_l).astype(o_ref.dtype)
+        lse_ref[0] = m_scratch[:] + jnp.log(safe_l)  # (BQ, 1)
 
 
 def _flash_bh(q, k, v, bias, kmask, *, causal: bool, scale: float,
@@ -128,13 +129,20 @@ def _flash_bh(q, k, v, bias, kmask, *, causal: bool, scale: float,
         causal=causal, scale=scale, block_q=block_q, block_k=block_k,
         num_k_blocks=nk)
 
-    return pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=(bh, nq, nk),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n, 1), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -142,6 +150,7 @@ def _flash_bh(q, k, v, bias, kmask, *, causal: bool, scale: float,
         ],
         interpret=interpret,
     )(*args)
+    return out, lse[..., 0]
 
 
 def _kernel_dispatch(*refs, has_bias, has_kmask, **kw):
@@ -150,9 +159,9 @@ def _kernel_dispatch(*refs, has_bias, has_kmask, **kw):
     idx += 1 if has_bias else 0
     kmask_ref = refs[idx] if has_kmask else None
     idx += 1 if has_kmask else 0
-    o_ref = refs[idx]
-    m_s, l_s, acc_s = refs[idx + 1: idx + 4]
-    _kernel(refs[0], refs[1], refs[2], bias_ref, kmask_ref, o_ref,
+    o_ref, lse_ref = refs[idx], refs[idx + 1]
+    m_s, l_s, acc_s = refs[idx + 2: idx + 5]
+    _kernel(refs[0], refs[1], refs[2], bias_ref, kmask_ref, o_ref, lse_ref,
             m_s, l_s, acc_s, **kw)
 
 
@@ -182,6 +191,87 @@ def _math_reference(q, k, v, bias, key_mask, causal, scale):
     return out.astype(q.dtype)
 
 
+def _flash_bwd_chunked(q, k, v, bias, key_mask, out, lse, g, *, causal, scale,
+                       block_k):
+    """Flash-style backward in O(N·block_k) memory: lax.scan over key blocks,
+    re-deriving P from the saved logsumexp — the (N, M) attention matrix is
+    never materialized (the classic dq/dk/dv/dbias recurrences)."""
+    b, h, n, d = q.shape
+    hk = k.shape[1]
+    m = k.shape[2]
+    pad_m = (-m) % block_k
+    if pad_m:
+        cfg = ((0, 0), (0, 0), (0, pad_m), (0, 0))
+        k = jnp.pad(k, cfg)
+        v = jnp.pad(v, cfg)
+        key_mask = jnp.pad(key_mask if key_mask is not None
+                           else jnp.ones((b, m), bool), ((0, 0), (0, pad_m)))
+        if bias is not None:
+            bias = jnp.pad(bias, ((0, 0),) * (bias.ndim - 1) + ((0, pad_m),))
+    mp = m + pad_m
+    nblk = mp // block_k
+
+    qf = q.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    delta = jnp.sum(gf * out.astype(jnp.float32), axis=-1)  # (B, H, N)
+    kb_all = k.reshape(b, hk, nblk, block_k, d).astype(jnp.float32)
+    vb_all = v.reshape(b, hk, nblk, block_k, d).astype(jnp.float32)
+    km_all = key_mask.reshape(b, nblk, block_k) if key_mask is not None else None
+    if bias is not None:
+        bias_all = (bias if bias.ndim == 4 else bias[None]).astype(jnp.float32)
+        bias_blocks = bias_all.reshape(*bias_all.shape[:-1], nblk, block_k)
+    q_pos = jnp.arange(n)
+
+    def body(dq_acc, j):
+        if hk == 1:
+            kb = kb_all[:, 0, j]  # (B, Bk, D) — shared MQA head
+            vb = vb_all[:, 0, j]
+            s = scale * jnp.einsum("bhnd,bkd->bhnk", qf, kb)
+        else:
+            kb = kb_all[:, :, j]  # (B, H, Bk, D)
+            vb = vb_all[:, :, j]
+            s = scale * jnp.einsum("bhnd,bhkd->bhnk", qf, kb)
+        if bias is not None:
+            s = s + jax.lax.dynamic_index_in_dim(bias_blocks, j, axis=-2,
+                                                 keepdims=False)
+        if km_all is not None:
+            s = jnp.where(km_all[:, j][:, None, None, :], s, _NEG_INF)
+        if causal:
+            k_pos = j * block_k + jnp.arange(block_k)
+            s = jnp.where(k_pos[None, None, None, :] <=
+                          q_pos[None, None, :, None], s, _NEG_INF)
+        p = jnp.exp(s - lse[..., None])          # (B, H, N, Bk)
+        if hk == 1:
+            dp = jnp.einsum("bhnd,bkd->bhnk", gf, vb)
+        else:
+            dp = jnp.einsum("bhnd,bhkd->bhnk", gf, vb)
+        ds = p * (dp - delta[..., None])          # (B, H, N, Bk)
+        if hk == 1:
+            dq_step = scale * jnp.einsum("bhnk,bkd->bhnd", ds, kb)
+            # MQA: head contributions sum into the single shared kv head
+            dk_j = scale * jnp.einsum("bhnk,bhnd->bkd", ds, qf)[:, None]
+            dv_j = jnp.einsum("bhnk,bhnd->bkd", p, gf)[:, None]
+        else:
+            dq_step = scale * jnp.einsum("bhnk,bhkd->bhnd", ds, kb)
+            dk_j = scale * jnp.einsum("bhnk,bhnd->bhkd", ds, qf)
+            dv_j = jnp.einsum("bhnk,bhnd->bhkd", p, gf)
+        db_j = jnp.sum(ds, axis=0) if (bias is not None and bias.ndim == 3) \
+            else (ds if bias is not None else None)
+        return dq_acc + dq_step, (dk_j, dv_j, db_j)
+
+    dq, (dk_blocks, dv_blocks, db_blocks) = jax.lax.scan(
+        body, jnp.zeros_like(qf), jnp.arange(nblk))
+    dk = jnp.moveaxis(dk_blocks, 0, 2).reshape(b, hk, mp, d)[:, :, :m]
+    dv = jnp.moveaxis(dv_blocks, 0, 2).reshape(b, hk, mp, d)[:, :, :m]
+    dbias = None
+    if bias is not None:
+        db = jnp.moveaxis(db_blocks, 0, -2)  # (..., N, nblk, Bk)
+        db = db.reshape(*db.shape[:-2], mp)[..., :m]
+        dbias = db
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dbias)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_vjp_fn(causal, scale, block_q, block_k, interpret, has_bias, has_kmask):
     @jax.custom_vjp
@@ -191,27 +281,17 @@ def _make_vjp_fn(causal, scale, block_q, block_k, interpret, has_bias, has_kmask
                               block_k=block_k, interpret=interpret)
 
     def fwd(q, k, v, bias, key_mask):
-        return f(q, k, v, bias, key_mask), (q, k, v, bias, key_mask)
+        out, lse = _flash_forward(q, k, v, bias=bias, key_mask=key_mask,
+                                  causal=causal, scale=scale, block_q=block_q,
+                                  block_k=block_k, interpret=interpret,
+                                  return_lse=True)
+        return out, (q, k, v, bias, key_mask, out, lse)
 
     def bwd(res, g):
-        q, k, v, bias, key_mask = res
-        diff = (q, k, v) if bias is None else (q, k, v, bias)
-
-        def ref(*args):
-            if bias is None:
-                qq, kk, vv = args
-                bb = None
-            else:
-                qq, kk, vv, bb = args
-            return _math_reference(qq, kk, vv, bb, key_mask, causal, scale)
-
-        _, vjp = jax.vjp(ref, *diff)
-        grads = vjp(g)
-        if bias is None:
-            dq, dk, dv = grads
-            dbias = None
-        else:
-            dq, dk, dv, dbias = grads
+        q, k, v, bias, key_mask, out, lse = res
+        dq, dk, dv, dbias = _flash_bwd_chunked(
+            q, k, v, bias, key_mask, out, lse, g, causal=causal, scale=scale,
+            block_k=block_k)
         return dq, dk, dv, dbias, None
 
     f.defvjp(fwd, bwd)
@@ -234,7 +314,8 @@ def flash_attention(q, k, v, *, bias=None, key_mask=None, causal: bool = False,
 
 def _flash_forward(q, k, v, *, bias=None, key_mask=None, causal: bool = False,
                    scale: float | None = None, block_q: int = 128,
-                   block_k: int = 128, interpret: bool | None = None):
+                   block_k: int = 128, interpret: bool | None = None,
+                   return_lse: bool = False):
     """q: (B, H, N, D); k, v: (B, Hk, M, D), Hk in {1, H} (MQA broadcast).
     bias: (H, N, M) or (B, H, N, M) additive. key_mask: (B, M) bool, True=keep.
     Returns (B, H, N, D).
@@ -284,7 +365,9 @@ def _flash_forward(q, k, v, *, bias=None, key_mask=None, causal: bool = False,
         km = jnp.pad(km, ((0, 0), (0, pad_m)))
         kmask_f = km.astype(jnp.int8)  # (B, M), kernel indexes by b // h
 
-    out = _flash_bh(qf, kf, vf, bias_f, kmask_f, causal=causal, scale=scale,
-                    block_q=block_q, block_k=block_k, interpret=interpret)
-    out = out.reshape(b, h, np_, d)
-    return out[:, :, :n]
+    out, lse = _flash_bh(qf, kf, vf, bias_f, kmask_f, causal=causal, scale=scale,
+                         block_q=block_q, block_k=block_k, interpret=interpret)
+    out = out.reshape(b, h, np_, d)[:, :, :n]
+    if return_lse:
+        return out, lse.reshape(b, h, np_)[:, :, :n]
+    return out
