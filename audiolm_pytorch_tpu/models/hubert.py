@@ -163,10 +163,12 @@ class HubertWithKmeans(Module):
                  target_sample_hz: int = 16000, seq_len_multiple_of: Optional[int] = None,
                  output_layer: int = 9, codebook_size: int = 500,
                  dim: int = 768, num_layers: int = 12, heads: int = 12,
+                 ff_dim: Optional[int] = None,
                  key: Optional[jax.Array] = None):
         key = key if key is not None else jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(key)
         self.encoder = HubertEncoder(dim=dim, layers=num_layers, heads=heads,
+                                     ff_dim=ff_dim if ff_dim else 4 * dim,
                                      key=k1)
         self.output_layer = output_layer
         self.target_sample_hz = target_sample_hz
