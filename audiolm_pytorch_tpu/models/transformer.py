@@ -211,14 +211,16 @@ class Attention(Module):
             from ..ops.pallas.flash_attention import flash_attention
             out = flash_attention(q, k[:, None], v[:, None], bias=attn_bias,
                                   key_mask=key_mask, causal=causal)
+            # flash path: dropout approximated on the output
+            out = maybe_dropout(out, self.dropout, key)
         else:
             if cache_kv is None and exists(key_mask):
                 mask = key_mask[:, None, None, :]
             out = attend(q, k[:, None], v[:, None], mask=mask,
-                         attn_bias=attn_bias, causal=causal)
+                         attn_bias=attn_bias, causal=causal,
+                         dropout_rate=self.dropout, dropout_key=key)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, -1)
         out = self.to_out(out)
-        out = maybe_dropout(out, self.dropout, key)
 
         rets = (out,)
         if return_kv:

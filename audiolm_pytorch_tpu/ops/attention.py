@@ -26,11 +26,14 @@ _NEG_INF = -1e9  # finite mask value: keeps softmax NaN-free on fully-masked row
 
 
 def attend(q, k, v, *, mask=None, attn_bias=None, causal: bool = False,
-           scale: float | None = None):
+           scale: float | None = None, dropout_rate: float = 0.0,
+           dropout_key=None):
     """q: (B, H, N, D); k, v: (B, Hk, M, D) with Hk in {1, H} (MQA broadcast).
 
     mask: broadcastable to (B, H, N, M), True = attend. attn_bias: additive
-    (H, N, M) or (B, H, N, M). Returns (B, H, N, D).
+    (H, N, M) or (B, H, N, M). dropout applies to the attention weights
+    (reference: attend.py:127 drops the post-softmax matrix). Returns
+    (B, H, N, D).
     """
     scale = scale if scale is not None else q.shape[-1] ** -0.5
     qf = q.astype(jnp.float32) * scale
@@ -46,6 +49,9 @@ def attend(q, k, v, *, mask=None, attn_bias=None, causal: bool = False,
     if mask is not None:
         sim = jnp.where(mask, sim, _NEG_INF)
     attn = jax.nn.softmax(sim, axis=-1)
+    if dropout_rate > 0.0 and dropout_key is not None:
+        keep = jax.random.bernoulli(dropout_key, 1.0 - dropout_rate, attn.shape)
+        attn = jnp.where(keep, attn / (1.0 - dropout_rate), 0.0)
     vf = v.astype(jnp.float32)
     out = jnp.einsum("bhnm,bkmd->bhnd", attn, vf) if v.shape[1] != q.shape[1] and v.shape[1] == 1 \
         else jnp.einsum("bhnm,bhmd->bhnd", attn, vf)
