@@ -515,6 +515,16 @@ class SoundStream(Module):
         self.adversarial_loss_weight = adversarial_loss_weight
         self.feature_loss_weight = feature_loss_weight
 
+    def non_discr_parameters(self):
+        """Generator-side trainable params (API parity: reference
+        soundstream.py:760-769). Returns the trainable partition with
+        discriminator slots set to None."""
+        from ..nn.module import partition_trainable_where
+        params, _ = partition_trainable_where(
+            self, lambda p: not p.startswith(("discriminators",
+                                              "stft_discriminator")))
+        return params
+
     # -- properties ---------------------------------------------------------
     @property
     def seq_len_multiple_of(self):

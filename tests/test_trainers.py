@@ -55,6 +55,25 @@ def test_soundstream_trainer(sine_folder, tmp_path):
     assert trainer.steps == 3
 
 
+def test_resume_latest(sine_folder, tmp_path, tiny_wav2vec):
+    st = SemanticTransformer(num_semantic_tokens=tiny_wav2vec.codebook_size,
+                             dim=32, depth=1, heads=2, dim_head=16,
+                             num_residual_streams=1, key=KEY)
+    trainer = SemanticTransformerTrainer(
+        st, tiny_wav2vec, folder=str(sine_folder), batch_size=2,
+        grad_accum_every=1, num_train_steps=1, data_max_length=2048,
+        save_model_every=1, results_folder=str(tmp_path / "results"),
+        data_parallel=False)
+    assert not trainer.resume_latest()  # nothing yet
+    trainer.train_step()
+    trainer2 = SemanticTransformerTrainer(
+        st, tiny_wav2vec, folder=str(sine_folder), batch_size=2,
+        grad_accum_every=1, num_train_steps=1, data_max_length=2048,
+        results_folder=str(tmp_path / "results"), data_parallel=False)
+    assert trainer2.resume_latest()
+    assert trainer2.steps == 2
+
+
 def test_semantic_trainer(sine_folder, tmp_path, tiny_wav2vec):
     st = SemanticTransformer(num_semantic_tokens=tiny_wav2vec.codebook_size,
                              dim=32, depth=1, heads=2, dim_head=16,
