@@ -473,7 +473,7 @@ class _TransformerTrainerBase(_TrainerBase):
                  save_results_every=100, save_model_every=1000,
                  results_folder="./results", use_wandb_tracking=False,
                  data_parallel=True, seed=42, valid_frac=0.05,
-                 dataset_kwargs=None, name="lm"):
+                 bf16_compute=False, dataset_kwargs=None, name="lm"):
         super().__init__(results_folder=results_folder,
                          num_train_steps=num_train_steps, batch_size=batch_size,
                          grad_accum_every=grad_accum_every,
@@ -483,6 +483,7 @@ class _TransformerTrainerBase(_TrainerBase):
                          data_parallel=data_parallel)
         self.wrapper = wrapper
         self.name = name
+        self.bf16_compute = bf16_compute
         if dataset is None:
             assert exists(folder)
             dataset = self._build_dataset(folder, **(dataset_kwargs or {}))
@@ -530,11 +531,16 @@ class _TransformerTrainerBase(_TrainerBase):
         tx = self.tx
         accum = self.grad_accum_every
         axis = data_axis_name if self.mesh is not None else None
+        bf16 = self.bf16_compute
 
         def step(params, rest, opt_state, batch, key):
             def scan_body(gacc, inp):
                 micro, k = inp
                 def loss_fn(p):
+                    if bf16:
+                        # fp32 masters, bf16 compute (fp32 softmax/norms inside)
+                        from ..nn.module import cast_floats
+                        p = cast_floats(p, jnp.bfloat16)
                     wrapper = combine(p, rest)
                     return wrapper(**micro, return_loss=True, train=True, key=k)
                 loss, grads = jax.value_and_grad(loss_fn)(params)
