@@ -134,6 +134,15 @@ class _MetricWriter:
         if self.wandb_run is not None:
             self.wandb_run.log(metrics, step=step)
 
+    def save_artifact(self, path):
+        """Upload a checkpoint to wandb when tracking (reference:
+        trainer.py:991-992 wandb.save)."""
+        if self.wandb_run is not None:
+            try:
+                self.wandb_run.save(str(path))
+            except Exception:
+                pass
+
 
 class _TrainerBase:
     """Shared infra: mesh, step loop, checkpoint cadence, logging
@@ -143,6 +152,11 @@ class _TrainerBase:
                  grad_accum_every=1, save_results_every=100, save_model_every=1000,
                  use_wandb_tracking=False, data_parallel=True, force_clear_prev_results=None):
         self.results_folder = Path(results_folder)
+        if force_clear_prev_results and self.results_folder.exists():
+            # non-interactive analog of the reference's yes_or_no prompt
+            # (reference: trainer.py:423-424)
+            import shutil
+            shutil.rmtree(self.results_folder)
         self.results_folder.mkdir(parents=True, exist_ok=True)
         self.num_train_steps = num_train_steps
         self.batch_size = batch_size
@@ -447,6 +461,7 @@ class SoundStreamTrainer(_TrainerBase):
                  "discr_opt": self.discr_opt_state, "ema": self.ema_state}
         save_pytree(path, state, extra_meta={"steps": self.steps,
                                              "kind": "SoundStreamTrainer"})
+        self.metrics.save_artifact(path)
         self.print(f"saved checkpoint to {path}")
 
     def load(self, path):
@@ -620,6 +635,7 @@ class _TransformerTrainerBase(_TrainerBase):
     def save(self, path):
         state = {"model": self.wrapper.transformer, "opt": self.opt_state}
         save_pytree(path, state, extra_meta={"steps": self.steps, "kind": self.name})
+        self.metrics.save_artifact(path)
         self.print(f"saved checkpoint to {path}")
 
     def load(self, path):
