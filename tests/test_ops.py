@@ -145,3 +145,19 @@ def test_generate_mask_with_prob():
 def test_curtail_to_multiple():
     x = jnp.arange(10)[None]
     assert curtail_to_multiple(x, 4).shape[-1] == 8
+
+
+def test_si_snr_and_mel_distance():
+    from audiolm_pytorch_tpu.utils.metrics import mel_distance, si_snr
+    t = np.arange(8000) / 16000.0
+    ref = jnp.asarray(np.sin(2 * np.pi * 440 * t), jnp.float32)[None]
+    # identical signals: very high SI-SNR, ~zero mel distance
+    assert float(si_snr(ref, ref)[0]) > 50
+    assert float(mel_distance(ref, ref, 16000)) < 1e-5
+    # scaled copy: SI-SNR is scale-invariant
+    assert float(si_snr(0.3 * ref, ref)[0]) > 50
+    # noisy signal scores worse
+    noisy = ref + 0.1 * jax.random.normal(jax.random.PRNGKey(0), ref.shape)
+    snr = float(si_snr(noisy, ref)[0])
+    assert 5 < snr < 30
+    assert float(mel_distance(noisy, ref, 16000)) > 0.01
