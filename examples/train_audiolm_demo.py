@@ -9,9 +9,12 @@ cells 6-18) as an executable script — the de-facto integration test.
 from __future__ import annotations
 
 import argparse
+import sys
 from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def make_sine_dataset(folder: Path, n: int = 8, length: int = 10240,
