@@ -134,8 +134,10 @@ class VectorQuantizeEMA(Module):
 
     # -- pure pieces -------------------------------------------------------
     def encode(self, x, *, key=None):
-        """x: (..., D) -> int32 indices (...,)."""
-        flat = x.reshape(-1, self.dim)
+        """x: (..., D) -> int32 indices (...,). Int outputs carry no gradient,
+        so the input is detached — this also keeps the (non-differentiable)
+        pallas nearest-code kernel out of autodiff traces."""
+        flat = jax.lax.stop_gradient(x.reshape(-1, self.dim))
         if self.stochastic_sample_codes and key is not None:
             dist = _sq_dist(flat, self.codebook.value)
             idx = jnp.argmax(-dist + gumbel_noise(key, dist.shape), axis=-1)
