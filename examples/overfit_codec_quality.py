@@ -19,9 +19,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--lr", type=float, default=1e-3)
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from audiolm_pytorch_tpu import SoundStream, SoundStreamTrainer
     from audiolm_pytorch_tpu.utils.audio_io import save_audio
@@ -47,8 +51,11 @@ def main():
         key=jax.random.PRNGKey(0))
     trainer = SoundStreamTrainer(
         ss, folder=str(data), batch_size=4, grad_accum_every=1,
-        data_max_length=4800, num_train_steps=args.steps, lr=1e-3,
+        data_max_length=4800, num_train_steps=args.steps, lr=args.lr,
         warmup_steps=10, save_results_every=10 ** 9, save_model_every=10 ** 9,
+        # gradient penalty destabilizes this short overfit run (NOTES.md);
+        # disable it for the quality smoke number
+        apply_grad_penalty_every=10 ** 9,
         results_folder=str(out / "results"), use_ema=False)
 
     from audiolm_pytorch_tpu.utils.audio_io import load_audio
