@@ -262,7 +262,9 @@ class ModReLU(Module):
         self.b = jnp.zeros((), jnp.float32)
 
     def __call__(self, xr, xi):
-        mag = jnp.sqrt(xr * xr + xi * xi + 1e-9)
+        # eps 1e-6: keeps the second derivative (grad penalty is grad-of-grad
+        # through this sqrt) bounded near |z| = 0
+        mag = jnp.sqrt(xr * xr + xi * xi + 1e-6)
         scale = jax.nn.relu(mag + self.b) / mag
         return xr * scale, xi * scale
 
@@ -322,7 +324,7 @@ class ComplexSTFTDiscriminator(Module):
             intermediates.append(jnp.concatenate([hr, hi], axis=-1))
         lr, li = self.final_conv(hr, hi)
         if self.logits_abs:
-            logits = jnp.sqrt(lr * lr + li * li + 1e-12)
+            logits = jnp.sqrt(lr * lr + li * li + 1e-6)
         else:
             logits = jnp.stack([lr, li], axis=-1)
         if not return_intermediates:
@@ -703,8 +705,10 @@ class SoundStream(Module):
         if apply_grad_penalty:
             gr = jax.grad(lambda r: stft_loss_fn(r, fake))(real)
             gf = jax.grad(lambda f: stft_loss_fn(real, f))(fake)
-            gp = 10.0 * (jnp.mean(jnp.linalg.norm(gr.reshape(gr.shape[0], -1), axis=1) ** 2)
-                         + jnp.mean(jnp.linalg.norm(gf.reshape(gf.shape[0], -1), axis=1) ** 2))
+            # ||g||^2 as a direct sum of squares: identical to (norm-0)^2 with a
+            # numerically clean second derivative (no sqrt at the origin)
+            gp = 10.0 * (jnp.mean(jnp.sum(gr.reshape(gr.shape[0], -1) ** 2, axis=1))
+                         + jnp.mean(jnp.sum(gf.reshape(gf.shape[0], -1) ** 2, axis=1)))
             losses.append(("stft_grad_penalty", gp))
 
         scaled_real, scaled_fake = real, fake
@@ -722,8 +726,8 @@ class SoundStream(Module):
             if apply_grad_penalty:
                 gr = jax.grad(lambda r: loss_fn(r, scaled_fake))(scaled_real)
                 gf = jax.grad(lambda fk: loss_fn(scaled_real, fk))(scaled_fake)
-                gp = 10.0 * (jnp.mean(jnp.linalg.norm(gr.reshape(gr.shape[0], -1), axis=1) ** 2)
-                             + jnp.mean(jnp.linalg.norm(gf.reshape(gf.shape[0], -1), axis=1) ** 2))
+                gp = 10.0 * (jnp.mean(jnp.sum(gr.reshape(gr.shape[0], -1) ** 2, axis=1))
+                             + jnp.mean(jnp.sum(gf.reshape(gf.shape[0], -1) ** 2, axis=1)))
                 losses.append((f"scale_grad_penalty:{scale}", gp))
 
         if separately:
