@@ -51,8 +51,11 @@ class SoundDataset:
     """(reference: data.py:35-126)."""
 
     def __init__(self, folder, *, target_sample_hz, max_length: Optional[int] = None,
-                 seq_len_multiple_of=None, exts=("flac", "wav", "mp3", "webm"),
+                 seq_len_multiple_of=None, exts=("flac", "wav"),
                  seed: int = 0):
+        # the reference also globs mp3/webm (data.py:49); those are lossy
+        # container formats with no decoder in this build, so globbing them by
+        # default would crash the first batch — pass exts= explicitly to opt in
         folder = Path(folder)
         assert folder.exists(), f"folder {folder} does not exist"
         files = []
@@ -74,7 +77,7 @@ class SoundDataset:
 
     def _load_mono(self, file):
         """Decode + downmix, via the native C++ loader when available."""
-        if Path(file).suffix.lower() == ".wav":
+        if Path(file).suffix.lower() in (".wav", ".flac"):
             from . import native_loader
             if native_loader.native_available():
                 length, rate, _ = native_loader.probe(file)

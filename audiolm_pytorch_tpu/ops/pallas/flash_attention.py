@@ -241,6 +241,9 @@ def _flash_bwd_chunked(q, k, v, bias, key_mask, out, lse, g, *, causal, scale,
             s = jnp.where(k_pos[None, None, None, :] <=
                           q_pos[None, None, :, None], s, _NEG_INF)
         p = jnp.exp(s - lse[..., None])          # (B, H, N, Bk)
+        # a fully-masked query row stores lse ≈ -inf; exp(s - lse) would then
+        # be 1 for every (masked) column — its gradient contribution must be 0
+        p = jnp.where(lse[..., None] > _NEG_INF / 2, p, 0.0)
         if hk == 1:
             dp = jnp.einsum("bhnd,bkd->bhnk", gf, vb)
         else:

@@ -64,8 +64,8 @@ def load_pytree_into(path, tree, prefix: str = ""):
         saved = {n: data[f"leaf_{i}"] for i, n in sel}
     names, leaves, treedef = _leaves_with_names(tree)
     if sorted(names) != sorted(saved.keys()):
-        missing = set(saved.keys()) - set(names)
-        extra = set(names) - set(saved.keys())
+        missing = set(names) - set(saved.keys())
+        extra = set(saved.keys()) - set(names)
         raise ValueError(
             f"checkpoint structure mismatch (prefix={prefix!r}): "
             f"missing={sorted(missing)[:5]} extra={sorted(extra)[:5]}")

@@ -335,24 +335,30 @@ class SoundStreamTrainer(_TrainerBase):
         accum = self.grad_accum_every
         axis = data_axis_name if self.mesh is not None else None
 
-        def one_micro(params, rest, wave, key):
+        def one_micro(params, rest, bufs, wave, key):
             def loss_fn(p):
                 model = combine(p, rest)
+                # chain the VQ EMA/kmeans buffers across micro-batches: the
+                # carried bufs (not the stale ones inside `rest`) feed this
+                # forward, so grad_accum_every=N accumulates N EMA updates
+                # sequentially (reference vq lib updates on every forward)
+                _, rq_nonbuf = partition_buffers(model.rq)
+                model = evolve(model, rq=combine(bufs, rq_nonbuf))
                 total, breakdown, new_model = model(
                     wave, key=key, train=True, return_loss_breakdown=True,
                     axis_name=axis)
-                bufs, _ = partition_buffers(new_model.rq)
-                return total, (jnp.stack(list(breakdown)), bufs)
-            (loss, (bd, bufs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            return loss, bd, bufs, grads
+                new_bufs, _ = partition_buffers(new_model.rq)
+                return total, (jnp.stack(list(breakdown)), new_bufs)
+            (loss, (bd, new_bufs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return loss, bd, new_bufs, grads
 
         def step(params, rest, opt_state, ema_state, waves, key):
             def scan_body(carry, inp):
-                gacc, _ = carry
+                gacc, bufs = carry
                 wave, k = inp
-                loss, bd, bufs, grads = one_micro(params, rest, wave, k)
+                loss, bd, new_bufs, grads = one_micro(params, rest, bufs, wave, k)
                 gacc = _tree_acc(gacc, grads, 1.0 / accum)
-                return (gacc, bufs), (loss, bd)
+                return (gacc, new_bufs), (loss, bd)
 
             zero_grads = _tree_zeros_like(params)
             bufs0, _ = partition_buffers(combine(params, rest).rq)

@@ -12,17 +12,30 @@ import numpy as np
 
 __all__ = ["load_audio", "save_audio", "SUPPORTED_EXTENSIONS"]
 
-SUPPORTED_EXTENSIONS = (".wav",)
+SUPPORTED_EXTENSIONS = (".wav", ".flac")
 
 
 def load_audio(path):
-    """Returns (waveform float32 (channels, T) in [-1, 1], sample_rate)."""
+    """Returns (waveform float32 (channels, T) in [-1, 1], sample_rate).
+
+    WAV decodes in-process; FLAC goes through the native C++ decoder
+    (native/audioload.cpp), which returns a mono downmix — matching the
+    dataset's downstream mono handling."""
     path = Path(path)
     if path.suffix.lower() == ".wav":
         return _load_wav(path)
+    if path.suffix.lower() == ".flac":
+        from ..data import native_loader
+        if not native_loader.native_available():
+            raise RuntimeError(
+                "FLAC decode requires the native loader (g++ build of "
+                "native/audioload.cpp failed or toolchain missing)")
+        length, rate, _ = native_loader.probe(path)
+        out, _, _ = native_loader.load_batch([path], length)
+        return out[:1], rate  # already mono-downmixed, shape (1, T)
     raise ValueError(
-        f"unsupported audio format {path.suffix} (wav supported natively; "
-        "build the native dataloader for flac/mp3)")
+        f"unsupported audio format {path.suffix} (wav/flac supported; "
+        "mp3/webm are not decodable in this build)")
 
 
 def _load_wav(path):

@@ -56,3 +56,110 @@ def test_load_batch_deterministic_crops(wav_files):
     np.testing.assert_array_equal(a, b)
     c, _, _ = native_loader.load_batch(wav_files, 1000, seed=8)
     assert not np.array_equal(a[1], c[1])  # different crop of the long file
+
+
+# ---------------------------------------------------------------------------
+# FLAC decode: roundtrip the from-scratch C++ decoder against the pure-python
+# encoder oracle (flac_writer.py). FLAC is lossless, so equality is exact up
+# to the int->float normalization.
+# ---------------------------------------------------------------------------
+from flac_writer import write_flac  # noqa: E402
+
+
+def _expected_mono(samples, bps):
+    s = np.asarray(samples, np.float64)
+    if s.ndim == 1:
+        s = s[None]
+    return (s / float(1 << (bps - 1))).mean(0).astype(np.float32)
+
+
+def _roundtrip(tmp_path, samples, rate=16000, name="t.flac", **kw):
+    p = tmp_path / name
+    write_flac(p, samples, rate, **kw)
+    bps = kw.get("bps", 16)
+    exp = _expected_mono(samples, bps)
+    length, got_rate, ch = native_loader.probe(p)
+    assert got_rate == rate
+    assert length == exp.shape[-1]
+    out, lengths, rates = native_loader.load_batch([p], exp.shape[-1])
+    np.testing.assert_allclose(out[0], exp, atol=1e-7)
+    return out[0]
+
+
+def _sine_i16(n, f=440.0, sr=16000, amp=20000, seed=None):
+    t = np.arange(n) / sr
+    x = amp * np.sin(2 * np.pi * f * t)
+    if seed is not None:
+        x += np.random.default_rng(seed).normal(0, 300, n)
+    return np.round(x).astype(np.int64)
+
+
+def test_flac_constant(tmp_path):
+    _roundtrip(tmp_path, np.full(4096, -1234, np.int64), subframe="constant")
+
+
+def test_flac_verbatim(tmp_path):
+    rng = np.random.default_rng(1)
+    x = rng.integers(-(1 << 15), 1 << 15, 5000)
+    _roundtrip(tmp_path, x, subframe="verbatim")
+
+
+def test_flac_fixed_orders_multiframe(tmp_path):
+    # smooth signal -> higher fixed orders chosen; 3 frames + short tail
+    _roundtrip(tmp_path, _sine_i16(1152 * 3 + 137), subframe="fixed")
+
+
+def test_flac_lpc(tmp_path):
+    _roundtrip(tmp_path, _sine_i16(3000, seed=2), subframe="lpc", lpc_order=2)
+    _roundtrip(tmp_path, _sine_i16(3000, seed=3), name="t4.flac",
+               subframe="lpc", lpc_order=4)
+
+
+def test_flac_rice2_and_partitions(tmp_path):
+    _roundtrip(tmp_path, _sine_i16(2304, seed=4), subframe="fixed",
+               rice2=True, porder=2)
+
+
+def test_flac_rice_escape(tmp_path):
+    _roundtrip(tmp_path, _sine_i16(1152, seed=5), subframe="fixed",
+               force_escape=True)
+
+
+def test_flac_wasted_bits(tmp_path):
+    x = _sine_i16(2000) & ~np.int64(7)  # multiples of 8 -> 3 wasted bits
+    _roundtrip(tmp_path, x, subframe="fixed", wasted=3)
+
+
+def test_flac_stereo_modes(tmp_path):
+    rng = np.random.default_rng(6)
+    base = _sine_i16(2500, seed=7)
+    st = np.stack([base, base + rng.integers(-500, 500, 2500)])
+    for i, mode in enumerate(["independent", "left_side", "right_side", "mid_side"]):
+        _roundtrip(tmp_path, st, name=f"st{i}.flac", subframe="fixed",
+                   stereo_mode=mode)
+
+
+def test_flac_24bit(tmp_path):
+    x = (_sine_i16(2000, seed=8) * 200).astype(np.int64)
+    _roundtrip(tmp_path, x, subframe="fixed", bps=24)
+
+
+def test_flac_8bit(tmp_path):
+    x = np.clip(_sine_i16(1500, amp=100, seed=9), -128, 127)
+    _roundtrip(tmp_path, x, subframe="fixed", bps=8)
+
+
+def test_flac_via_dataset(tmp_path):
+    """SoundDataset over a folder of .flac files (reference: data.py:49-72)."""
+    from audiolm_pytorch_tpu.data.dataset import SoundDataset, get_dataloader
+    for i in range(3):
+        write_flac(tmp_path / f"s{i}.flac", _sine_i16(4000 + 400 * i, seed=i),
+                   16000, subframe="fixed")
+    ds = SoundDataset(tmp_path, target_sample_hz=16000, max_length=3200)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item.shape == (3200,) and item.dtype == np.float32
+    dl = iter(get_dataloader(ds, batch_size=2))
+    batch = next(dl)
+    assert batch.shape == (2, 3200)
+    assert np.isfinite(batch).all() and np.abs(batch).max() > 0.1
