@@ -82,11 +82,14 @@ class GEGLU(Module):
 
     def __call__(self, x):
         x, gate = jnp.split(x, 2, axis=-1)
-        return jax.nn.gelu(gate) * x
+        # exact (erf) gelu — torch F.gelu's default, reference-parity
+        return jax.nn.gelu(gate, approximate=False) * x
 
 
 class FeedForward(Module):
-    """GEGLU MLP with post-activation LayerNorm (reference: audiolm_pytorch.py:252-260).
+    """Prenorm GEGLU MLP with post-activation LayerNorm
+    (reference: audiolm_pytorch.py:251-260 — Sequential(LayerNorm, Linear,
+    GEGLU, LayerNorm, Dropout, Linear)).
 
     Inner dim = int(dim * 2 * mult / 3) to keep params comparable to a ReLU MLP.
     """
@@ -94,11 +97,12 @@ class FeedForward(Module):
     def __init__(self, dim: int, mult: float = 4.0, *, key: jax.Array):
         inner = int(dim * 2 * mult / 3)
         k1, k2 = jax.random.split(key)
+        self.pre_norm = LayerNorm(dim)
         self.proj_in = Linear(dim, inner * 2, use_bias=False, key=k1)
         self.norm = LayerNorm(inner)
         self.proj_out = Linear(inner, dim, use_bias=False, key=k2)
 
     def __call__(self, x):
-        h = GEGLU()(self.proj_in(x))
+        h = GEGLU()(self.proj_in(self.pre_norm(x)))
         h = self.norm(h)
         return self.proj_out(h)

@@ -134,14 +134,18 @@ class Module:
         )
 
     def __setattr__(self, name, value):
-        # classify child-vs-static on first assignment; sticky thereafter so
-        # flatten stays structurally stable under partition/combine
+        # classify child-vs-static on every assignment (an attribute can be
+        # promoted to dynamic, e.g. re-assigned from a placeholder to a
+        # module list); unflatten/evolve bypass this via object.__setattr__,
+        # so partition/combine's None substitution can't flip a child back
         dyn = self.__dict__.get("_dyn_names")
         if dyn is None:
             dyn = set()
             object.__setattr__(self, "_dyn_names", dyn)
-        if name not in self.__dict__ and _is_dynamic(value):
+        if _is_dynamic(value):
             dyn.add(name)
+        else:
+            dyn.discard(name)
         object.__setattr__(self, name, value)
 
     # -- pytree protocol ---------------------------------------------------
@@ -152,7 +156,12 @@ class Module:
             if name == "_dyn_names":
                 continue
             v = self.__dict__[name]
-            if name in dyn:
+            # re-check staticness at flatten time: a list assigned empty in
+            # __init__ and then .append()ed (torch ModuleList idiom) never
+            # re-enters __setattr__, yet MUST be a pytree child — classifying
+            # it static would silently freeze its parameters (the round-1 bug
+            # that froze every Transformer.layers stack)
+            if name in dyn or _contains_arrays(v):
                 dyn_names.append(name)
                 dyn_vals.append(v)
             else:

@@ -29,7 +29,9 @@ def _sinc_kernel(orig_freq: int, new_freq: int, lowpass_filter_width: int,
     t *= np.pi
     kernel = np.where(t == 0, 1.0, np.sin(t) / np.where(t == 0, 1.0, t))
     kernel *= window * base_freq / orig_freq
-    return jnp.asarray(kernel[:, None, :], jnp.float32), width  # (new_freq, 1, K)
+    # cache NUMPY (a jnp constant created during tracing is a tracer and
+    # would leak out of the jit scope via this cache)
+    return np.ascontiguousarray(kernel[:, None, :], np.float32), width  # (new_freq, 1, K)
 
 
 def resample(x, orig_freq: int, new_freq: int, *, lowpass_filter_width: int = 6,

@@ -100,7 +100,9 @@ def mel_filterbank(sample_rate: int, n_fft: int, n_mels: int,
     down = -slopes[:, :-2] / f_diff[:-1]
     up = slopes[:, 2:] / f_diff[1:]
     fb = np.maximum(0.0, np.minimum(down, up))  # (n_freqs, n_mels)
-    return jnp.asarray(fb.T, jnp.float32)
+    # cache NUMPY, not a jax array: a jnp constant created while tracing is a
+    # tracer, and caching it across jit boundaries leaks it
+    return np.ascontiguousarray(fb.T, np.float32)
 
 
 def melspectrogram(x, sample_rate: int, n_fft: int, hop_length: int | None = None,
@@ -109,5 +111,5 @@ def melspectrogram(x, sample_rate: int, n_fft: int, hop_length: int | None = Non
     """(..., n_mels, n_frames) — torchaudio.transforms.MelSpectrogram parity."""
     spec = spectrogram(x, n_fft, hop_length, win_length, power=power,
                        normalized=normalized)
-    fb = mel_filterbank(sample_rate, n_fft, n_mels)
+    fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels))
     return jnp.einsum("mf,...ft->...mt", fb, spec)

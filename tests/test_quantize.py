@@ -137,7 +137,8 @@ def test_residual_fsq_roundtrip():
 def test_vq_ema_psum_keeps_replicas_identical():
     """Data-parallel EMA correctness: different data per device, identical
     codebooks afterwards (the reference relies on torch.distributed all_reduce;
-    we psum — SURVEY.md §2.4)."""
+    we psum — SURVEY.md §2.4). The per-replica codebooks are returned with
+    out_specs P("data") so the assertion actually compares replicas."""
     devices = jax.devices()
     assert len(devices) == 8, f"expected 8 virtual cpu devices, got {len(devices)}"
     mesh = Mesh(np.array(devices), ("data",))
@@ -145,23 +146,33 @@ def test_vq_ema_psum_keeps_replicas_identical():
     vq = VectorQuantizeEMA(4, 8, key=key)
     x = make_clustered_data(key, 16, 32, 4)  # batch 16 -> 2 per device
 
-    def step(vq, x, key):
-        out, idx, loss, vq = vq(x, key=key, train=True, axis_name="data")
-        return vq
+    def make_step(axis_name):
+        def step(vq, x, key):
+            out, idx, loss, vq = vq(x, key=key, train=True, axis_name=axis_name)
+            # leading singleton axis -> out_specs P("data") stacks one full
+            # codebook copy per device: (8, codes, dim)
+            return vq, vq.codebook.value[None]
+        return shard_map(step, mesh=mesh,
+                         in_specs=(P(), P("data"), P()),
+                         out_specs=(P(), P("data")), check_vma=False)
 
-    sharded_step = shard_map(
-        step, mesh=mesh,
-        in_specs=(P(), P("data"), P()),
-        out_specs=P(),
-        check_vma=False,
-    )
-    vq2 = jax.jit(sharded_step)(vq, x, key)
-    cb = np.asarray(vq2.codebook.value)
-    assert np.isfinite(cb).all()
+    vq2, per_replica = jax.jit(make_step("data"))(vq, x, key)
+    per_replica = np.asarray(per_replica)
+    assert per_replica.shape[0] == 8
+    assert np.isfinite(per_replica).all()
+    for d in range(1, 8):
+        np.testing.assert_array_equal(per_replica[d], per_replica[0],
+                                      err_msg=f"replica {d} diverged")
+
+    # negative control: WITHOUT the psum (axis_name=None) replicas must
+    # diverge, or this test has no power
+    _, per_replica_nosync = jax.jit(make_step(None))(vq, x, key)
+    per_replica_nosync = np.asarray(per_replica_nosync)
+    assert not all(np.array_equal(per_replica_nosync[d], per_replica_nosync[0])
+                   for d in range(1, 8)), "psum-less replicas were identical"
 
     # single-device run over the same full batch reaches similar quality
     out, idx, loss, vq3 = vq(x, key=key, train=True, axis_name=None)
-    # kmeans candidate pools differ (gather path), so compare quantization quality
     xq2, _, _, _ = vq2(x, train=False)
     xq3, _, _, _ = vq3(x, train=False)
     e2 = float(jnp.mean((xq2 - x) ** 2))

@@ -160,3 +160,72 @@ def test_semantic_trainer_data_parallel(sine_folder, tmp_path, tiny_wav2vec):
     assert trainer.mesh is not None
     logs = trainer.train_step()
     assert np.isfinite(logs["loss"])
+
+
+def test_soundstream_trainer_data_parallel(sine_folder, tmp_path):
+    """DP GAN training over the 8-device mesh: one full G+D step runs, and the
+    psum'd VQ-EMA statistics keep every replica's codebook bit-identical
+    (reference: accelerate DDP + vq lib all_reduce; SURVEY.md §2.4)."""
+    ss = tiny_soundstream()
+    trainer = SoundStreamTrainer(
+        ss, folder=str(sine_folder), batch_size=8, grad_accum_every=1,
+        num_train_steps=1, data_max_length=1024, save_results_every=100,
+        save_model_every=100, results_folder=str(tmp_path / "results"),
+        warmup_steps=1, apply_grad_penalty_every=100, data_parallel=True)
+    assert trainer.mesh is not None
+    logs = trainer.train_step()
+    assert np.isfinite(logs["loss"]) and np.isfinite(logs["discr_loss"])
+    # every VQ buffer (codebook, EMA stats, kmeans init flags) must hold the
+    # same value on all 8 devices after the psum'd update
+    from audiolm_pytorch_tpu.nn.module import partition_buffers
+    bufs, _ = partition_buffers(trainer.model.rq)
+    checked = 0
+    for leaf in jax.tree_util.tree_leaves(bufs):
+        if not hasattr(leaf, "addressable_shards"):
+            continue
+        shards = leaf.addressable_shards
+        if len(shards) < 2:
+            continue
+        ref = np.asarray(shards[0].data)
+        for s in shards[1:]:
+            np.testing.assert_array_equal(np.asarray(s.data), ref)
+        checked += 1
+    assert checked >= 2, "expected replicated VQ buffers to compare"
+
+
+def test_gan_grad_accum_chains_vq_ema(sine_folder, tmp_path):
+    """With grad_accum_every=2 the carried VQ buffers must thread through the
+    scan: the result equals two sequential train-mode forwards, not just the
+    last micro-batch's update (reference: vq lib updates EMA on every
+    forward; ADVICE r1 medium finding)."""
+    from audiolm_pytorch_tpu.nn.module import partition_buffers, \
+        partition_trainable_where
+    from audiolm_pytorch_tpu.training.trainer import _discr_path
+
+    ss = tiny_soundstream()
+    trainer = SoundStreamTrainer(
+        ss, folder=str(sine_folder), batch_size=2, grad_accum_every=2,
+        num_train_steps=1, data_max_length=1024,
+        results_folder=str(tmp_path / "results"), data_parallel=False)
+    rng = np.random.default_rng(3)
+    waves = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 2, 1024)), jnp.float32)
+    key = jax.random.PRNGKey(11)
+
+    gen_params, gen_rest = partition_trainable_where(
+        trainer.model, lambda p: not _discr_path(p))
+    new_model, _, _, _, _ = trainer._g_step(
+        gen_params, gen_rest, trainer.gen_opt_state, trainer.ema_state,
+        waves, key)
+    got, _ = partition_buffers(new_model.rq)
+
+    # reference: two sequential train forwards threading the VQ buffers,
+    # params held fixed (exactly what the scan body should compute)
+    m = trainer.model
+    for i, k in enumerate(jax.random.split(key, 2)):
+        _, _, m = m(waves[i], key=k, train=True, return_loss_breakdown=True)
+    expected, _ = partition_buffers(m.rq)
+
+    for g, e in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(expected)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(e),
+                                   rtol=2e-4, atol=1e-5)  # jit-vs-eager noise
