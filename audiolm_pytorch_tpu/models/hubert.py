@@ -50,7 +50,7 @@ class _ConvFeatureLayer(Module):
             m = jnp.mean(y, axis=1, keepdims=True)
             v = jnp.var(y, axis=1, keepdims=True)
             y = (y - m) * jax.lax.rsqrt(v + 1e-5) * self.gn_scale + self.gn_bias
-        return jax.nn.gelu(y)
+        return jax.nn.gelu(y, approximate=False)
 
 
 class _HubertSelfAttn(Module):
@@ -101,7 +101,7 @@ class _HubertLayer(Module):
     def __call__(self, x, mask=None):
         # post-norm (fairseq hubert-base layer_norm_first=False)
         x = self.ln1(x + self.attn(x, mask))
-        x = self.ln2(x + self.fc2(jax.nn.gelu(self.fc1(x))))
+        x = self.ln2(x + self.fc2(jax.nn.gelu(self.fc1(x), approximate=False)))
         return x
 
 
@@ -148,7 +148,7 @@ class HubertEncoder(Module):
         pos = pos + self.pos_conv_bias.astype(x.dtype)
         if k % 2 == 0:
             pos = pos[:, :-1]
-        x = x + jax.nn.gelu(pos)
+        x = x + jax.nn.gelu(pos, approximate=False)
         x = self.encoder_ln(x)
         for layer in self.layers[:output_layer]:
             x = layer(x)

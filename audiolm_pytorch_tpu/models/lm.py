@@ -56,6 +56,20 @@ def _process_text_condition(text, text_embeds, text_mask, proj, has_condition,
     return text_embeds, text_mask
 
 
+def _concrete_cache_pos(kv_cache):
+    """LM-level kv_cache slicing is an EAGER convenience (reference parity:
+    audiolm_pytorch.py:489-496 slices x[:, cache_len:] in python). Under jit
+    the position is a tracer and data-dependent slicing is impossible — the
+    jitted fast path is the wrapper samplers, which drive the Transformer
+    directly with suffix-only tokens and a preallocated KVCache."""
+    if isinstance(kv_cache.pos, jax.core.Tracer):
+        raise TypeError(
+            "kv_cache on the LM-level forward is an eager-only convenience; "
+            "under jit, use the wrapper samplers (models/wrappers.py) or call "
+            "the Transformer directly with suffix-only tokens")
+    return int(kv_cache.pos)
+
+
 def _load_lm(model, path):
     """Load a saved LM checkpoint into `model`, returning the new module
     (functional analog of reference .load, audiolm_pytorch.py:627-638; accepts
@@ -174,7 +188,7 @@ class SemanticTransformer(Module):
                                      constant_values=True)
 
         if kv_cache is not None:
-            pos = int(kv_cache.pos)
+            pos = _concrete_cache_pos(kv_cache)
             tokens = tokens[:, pos:]
             if exists(self_attn_mask):
                 self_attn_mask = self_attn_mask  # key-side mask stays full
@@ -334,7 +348,7 @@ class CoarseTransformer(Module):
         attn_bias = self.build_attn_bias(sem_len, bias_len)
 
         if kv_cache is not None:
-            pos = int(kv_cache.pos)
+            pos = _concrete_cache_pos(kv_cache)
             tokens = tokens[:, pos:]
 
         out, new_cache = self.transformer(
@@ -346,7 +360,7 @@ class CoarseTransformer(Module):
             # cached step: only suffix embeddings produced; logits heads below
             # need absolute positions — handled by wrapper step fns. Here we
             # return the raw suffix outputs with caches for API completeness.
-            offset = int(kv_cache.pos)
+            offset = _concrete_cache_pos(kv_cache)
         else:
             offset = 0
 
@@ -588,7 +602,7 @@ class FineTransformer(Module):
             max_len = kv_cache.k.shape[2]
             fine_budget = max_len - n_coarse - 2
             attn_bias = self.build_attn_bias(n_coarse, fine_budget)
-            pos = int(kv_cache.pos)
+            pos = _concrete_cache_pos(kv_cache)
             tokens = tokens[:, pos:]
         else:
             attn_bias = self.build_attn_bias(n_coarse, n_fine)
@@ -599,8 +613,8 @@ class FineTransformer(Module):
             return_kv_cache=True)
 
         full = out
-        if kv_cache is not None and int(kv_cache.pos):
-            pad = jnp.zeros((b, int(kv_cache.pos), out.shape[-1]), out.dtype)
+        if kv_cache is not None and _concrete_cache_pos(kv_cache):
+            pad = jnp.zeros((b, _concrete_cache_pos(kv_cache), out.shape[-1]), out.dtype)
             full = jnp.concatenate([pad, out], axis=1)
 
         pred_coarse = full[:, :n_coarse]

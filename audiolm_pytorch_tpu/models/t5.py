@@ -134,7 +134,13 @@ class T5Encoder(Module):
             hf = T5EncoderModel.from_pretrained(name)
         except Exception:
             return
-        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        self.load_torch_state_dict(
+            {k: v.detach().numpy() for k, v in hf.state_dict().items()})
+
+    def load_torch_state_dict(self, sd):
+        """HF T5EncoderModel state-dict (numpy values) -> this encoder.
+        Mapping validated against transformers' own randomly-initialized
+        T5EncoderModel in tests/test_weight_conversion.py."""
         self.token_embed = jnp.asarray(sd["shared.weight"])
         self.rel_bias = jnp.asarray(
             sd["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"])

@@ -279,9 +279,17 @@ def _coarse_generate_jit(tr: CoarseTransformer, semantic_ids, prime_coarse,
                              [:n_coarse_total], jnp.int32)
     offsets_table = qpos_table * (tr.codebook_size + 1)
 
-    def body_fn(i, state):
+    def cond_fn(state):
+        i, coarse_buf, cache, last_out, key = state
+        # early exit once every row has emitted coarse-EOS (reference stops
+        # per-batch at audiolm_pytorch.py:1504-1505; we stop when ALL rows
+        # are done — the jitted loop is batched)
+        all_done = jnp.all(jnp.any(coarse_buf == tr.coarse_eos_id, axis=-1))
+        return (i < n_coarse_total) & ~all_done
+
+    def body_fn(state):
         """i: index of the coarse token being sampled (pc..n_total-1)."""
-        coarse_buf, cache, last_out, key = state
+        i, coarse_buf, cache, last_out, key = state
         key, ks = jax.random.split(key)
         q_idx = qpos_table[i]
         lw = jnp.take(tr.coarse_logit_weights, q_idx, axis=0)  # (C+1, D)
@@ -302,10 +310,10 @@ def _coarse_generate_jit(tr: CoarseTransformer, semantic_ids, prime_coarse,
         out, cache = tr.transformer(_cfg_tile(tok, use_cfg), context=te,
                                     context_mask=tm, attn_bias=bias,
                                     kv_cache=cache, return_kv_cache=True)
-        return coarse_buf, cache, out[:, -1], key
+        return i + 1, coarse_buf, cache, out[:, -1], key
 
-    state = (coarse_buf, cache, last_out, key)
-    coarse_buf, _, _, _ = jax.lax.fori_loop(pc, n_coarse_total, body_fn, state)
+    state = (jnp.asarray(pc, jnp.int32), coarse_buf, cache, last_out, key)
+    _, coarse_buf, _, _, _ = jax.lax.while_loop(cond_fn, body_fn, state)
     coarse_buf = mask_out_after_eos_id(coarse_buf, tr.coarse_eos_id,
                                        mask_value=-1, keep_eos=False)
     return coarse_buf.reshape(b, n_coarse_total // num_coarse_q, num_coarse_q)
@@ -514,8 +522,13 @@ def _fine_generate_jit(tr: FineTransformer, coarse_ids, prime_fine, text_embeds,
                              [:n_fine_total], jnp.int32)
     offsets_table = qpos_table * tr.codebook_size
 
-    def body_fn(i, state):
-        fine_buf, cache, last_out, key = state
+    def cond_fn(state):
+        i, fine_buf, cache, last_out, key = state
+        all_done = jnp.all(jnp.any(fine_buf == tr.eos_id, axis=-1))
+        return (i < n_fine_total) & ~all_done
+
+    def body_fn(state):
+        i, fine_buf, cache, last_out, key = state
         key, ks = jax.random.split(key)
         q_idx = qpos_table[i]
         lw = jnp.take(tr.fine_logit_weights, q_idx, axis=0)  # (C, D)
@@ -534,10 +547,10 @@ def _fine_generate_jit(tr: FineTransformer, coarse_ids, prime_fine, text_embeds,
                                     context=te, context_mask=tm,
                                     self_attn_mask=key_mask_t, attn_bias=bias,
                                     kv_cache=cache, return_kv_cache=True)
-        return fine_buf, cache, out[:, -1], key
+        return i + 1, fine_buf, cache, out[:, -1], key
 
-    state = (fine_buf, cache, last_out, key)
-    fine_buf, _, _, _ = jax.lax.fori_loop(pf, n_fine_total, body_fn, state)
+    state = (jnp.asarray(pf, jnp.int32), fine_buf, cache, last_out, key)
+    _, fine_buf, _, _, _ = jax.lax.while_loop(cond_fn, body_fn, state)
     fine_buf = mask_out_after_eos_id(fine_buf, tr.eos_id, mask_value=-1,
                                      keep_eos=False)
     return fine_buf.reshape(b, max_time_steps, num_fine_q)

@@ -155,3 +155,42 @@ def test_t5_conversion_offline_guard():
     from audiolm_pytorch_tpu.models.t5 import T5Encoder
     enc = T5Encoder("google/t5-v1_1-small", load_pretrained=True, key=KEY)
     assert enc.pretrained in (True, False)  # no crash either way
+
+
+def test_t5_conversion_against_transformers():
+    """Validate the T5 key mapping + architecture numerics against
+    transformers' OWN T5EncoderModel (randomly initialized from T5Config — no
+    network), per VERDICT r1 next-step 5. Reference frozen model:
+    /root/reference/audiolm_pytorch/t5.py:31-110."""
+    torch = pytest.importorskip("torch")
+    from transformers import T5Config, T5EncoderModel
+    from audiolm_pytorch_tpu.models.t5 import T5Encoder, T5_CONFIGS
+
+    name = "google/t5-v1_1-small"
+    c = T5_CONFIGS[name]
+    cfg = T5Config(
+        vocab_size=c["vocab"], d_model=c["dim"], d_kv=c["dim_head"],
+        d_ff=c["ff"], num_layers=c["layers"], num_heads=c["heads"],
+        feed_forward_proj="gated-gelu", is_encoder_decoder=False,
+        use_cache=False, tie_word_embeddings=False)
+    torch.manual_seed(0)
+    hf = T5EncoderModel(cfg).eval()
+
+    ours = T5Encoder(name, load_pretrained=False)
+    ours.load_torch_state_dict(
+        {k: v.detach().numpy() for k, v in hf.state_dict().items()})
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(2, 1000, (2, 11)).astype(np.int32)
+    mask = np.ones((2, 11), bool)
+    mask[0, 8:] = False
+
+    with torch.no_grad():
+        ref = hf(input_ids=torch.from_numpy(ids.astype(np.int64)),
+                 attention_mask=torch.from_numpy(mask.astype(np.int64))
+                 ).last_hidden_state.numpy()
+    got = np.asarray(ours(jnp.asarray(ids), jnp.asarray(mask)))
+    # our contract zeroes padding rows (reference t5.py:103-108); compare the
+    # valid positions numerically and the padded ones for the zeroing
+    np.testing.assert_allclose(got[mask], ref[mask], rtol=2e-4, atol=2e-4)
+    assert np.all(got[~mask] == 0.0)
