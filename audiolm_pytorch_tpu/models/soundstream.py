@@ -47,11 +47,13 @@ __all__ = ["SoundStream", "AudioLMSoundStream", "MusicLMSoundStream",
 # ---------------------------------------------------------------------------
 
 def hinge_discr_loss(fake, real):
+    fake = fake.astype(jnp.float32)
+    real = real.astype(jnp.float32)
     return jnp.mean(jax.nn.relu(1 + fake) + jax.nn.relu(1 - real))
 
 
 def hinge_gen_loss(fake):
-    return -jnp.mean(fake)
+    return -jnp.mean(fake.astype(jnp.float32))
 
 
 def _safe_log(t, eps: float = 1e-20):
@@ -178,7 +180,8 @@ def _conv1d(x, w, b, *, stride=1, padding=0, groups=1):
     y = lax.conv_general_dilated(
         x, w.astype(x.dtype), (stride,), [(padding, padding)],
         dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=groups,
-        preferred_element_type=jnp.float32).astype(x.dtype)
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
+        ).astype(x.dtype)
     return y + b.astype(y.dtype) if b is not None else y
 
 
@@ -249,9 +252,11 @@ class ComplexConv2d(Module):
         conv = functools.partial(
             lax.conv_general_dilated, window_strides=self.stride, padding=pads,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
-        yr = conv(xr, self.wr) - conv(xi, self.wi) + self.br
-        yi = conv(xr, self.wi) + conv(xi, self.wr) + self.bi
+            preferred_element_type=jnp.float32 if xr.dtype == jnp.float32 else None)
+        wr = self.wr.astype(xr.dtype)
+        wi = self.wi.astype(xr.dtype)
+        yr = (conv(xr, wr) - conv(xi, wi) + self.br).astype(xr.dtype)
+        yi = (conv(xr, wi) + conv(xi, wr) + self.bi).astype(xr.dtype)
         return yr, yi
 
 
@@ -667,17 +672,23 @@ class SoundStream(Module):
             return self._discr_loss(orig_x, jax.lax.stop_gradient(recon_x),
                                     apply_grad_penalty, return_discr_losses_separately)
 
-        target = default(target, orig_x)
-        recon_loss = jnp.mean((target - recon_x) ** 2)
-        multi_spectral_recon_loss = self._multi_mel_loss(target, recon_x) \
+        # loss terms aggregate in fp32 regardless of compute dtype (the heavy
+        # conv/matmul work above already ran in the input dtype, e.g. bf16)
+        target = default(target, orig_x).astype(jnp.float32)
+        recon32 = recon_x.astype(jnp.float32)
+        recon_loss = jnp.mean((target - recon32) ** 2)
+        multi_spectral_recon_loss = self._multi_mel_loss(target, recon32) \
             if self.multi_spectral_recon_loss_weight > 0 else jnp.asarray(0.0)
 
         logits, fake_feats = self._discr_logits_and_feats(recon_x)
         _, real_feats = self._discr_logits_and_feats(jax.lax.stop_gradient(orig_x))
-        adversarial_loss = jnp.mean(jnp.stack([hinge_gen_loss(l) for l in logits]))
+        adversarial_loss = jnp.mean(jnp.stack(
+            [hinge_gen_loss(l.astype(jnp.float32)) for l in logits]))
         feat_losses = []
         for rf, ff in zip(real_feats, fake_feats):
-            feat_losses.extend([jnp.mean(jnp.abs(r - f)) for r, f in zip(rf, ff)])
+            feat_losses.extend([jnp.mean(jnp.abs(r.astype(jnp.float32)
+                                                 - f.astype(jnp.float32)))
+                                for r, f in zip(rf, ff)])
         feature_loss = jnp.mean(jnp.stack(feat_losses))
 
         all_commit = jnp.sum(commit_loss)

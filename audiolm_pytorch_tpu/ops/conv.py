@@ -25,6 +25,13 @@ __all__ = ["causal_conv1d", "causal_conv_transpose1d", "CausalConv1d", "CausalCo
 _DIMS = ("NHC", "HIO", "NHC")
 
 
+def _pet(x):
+    """preferred_element_type: fp32 accumulation for fp32 inputs; None for
+    bf16 (the MXU accumulates bf16 x bf16 in fp32 natively, and a widening
+    preferred type breaks jax's conv VJP under mixed dtypes)."""
+    return jnp.float32 if x.dtype == jnp.float32 else None
+
+
 def causal_conv1d(x, weight, bias=None, *, stride: int = 1, dilation: int = 1,
                   pad_mode: str = "reflect"):
     """x: (B, T, Cin); weight: (K, Cin, Cout). Returns (B, T', Cout)."""
@@ -37,7 +44,7 @@ def causal_conv1d(x, weight, bias=None, *, stride: int = 1, dilation: int = 1,
     y = lax.conv_general_dilated(
         x, weight.astype(x.dtype), (stride,), "VALID",
         rhs_dilation=(dilation,), dimension_numbers=_DIMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_pet(x),
     ).astype(x.dtype)
     if bias is not None:
         y = y + bias.astype(y.dtype)
@@ -56,7 +63,7 @@ def causal_conv_transpose1d(x, weight, bias=None, *, stride: int):
     y = lax.conv_general_dilated(
         x, jnp.flip(weight, 0).astype(x.dtype), (1,), [(k - 1, k - 1)],
         lhs_dilation=(stride,), dimension_numbers=_DIMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_pet(x),
     ).astype(x.dtype)
     y = y[:, : n * stride, :]
     if bias is not None:

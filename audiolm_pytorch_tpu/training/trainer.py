@@ -278,7 +278,7 @@ class SoundStreamTrainer(_TrainerBase):
                  save_model_every: int = 1000, results_folder: str = "./results",
                  use_ema: bool = True, use_wandb_tracking: bool = False,
                  data_parallel: bool = True, seed: int = 42,
-                 valid_frac: float = 0.05, **kwargs):
+                 valid_frac: float = 0.05, bf16_compute: bool = False, **kwargs):
         super().__init__(results_folder=results_folder,
                          num_train_steps=num_train_steps, batch_size=batch_size,
                          grad_accum_every=grad_accum_every,
@@ -287,6 +287,7 @@ class SoundStreamTrainer(_TrainerBase):
                          use_wandb_tracking=use_wandb_tracking,
                          data_parallel=data_parallel)
         self.model = soundstream
+        self.bf16_compute = bf16_compute
         self.apply_grad_penalty_every = apply_grad_penalty_every
         self.use_ema = use_ema
         self.ema_kwargs = dict(beta=ema_beta, update_after_step=ema_update_after_step,
@@ -335,8 +336,19 @@ class SoundStreamTrainer(_TrainerBase):
         accum = self.grad_accum_every
         axis = data_axis_name if self.mesh is not None else None
 
+        bf16 = self.bf16_compute
+
         def one_micro(params, rest, bufs, wave, key):
             def loss_fn(p):
+                if bf16:
+                    # fp32 masters, bf16 activations/weights in the conv and
+                    # discriminator stacks; loss terms aggregate in fp32
+                    # (soundstream loss sites upcast)
+                    from ..nn.module import cast_floats
+                    p = cast_floats(p, jnp.bfloat16)
+                    wave_ = wave.astype(jnp.bfloat16)
+                else:
+                    wave_ = wave
                 model = combine(p, rest)
                 # chain the VQ EMA/kmeans buffers across micro-batches: the
                 # carried bufs (not the stale ones inside `rest`) feed this
@@ -345,9 +357,15 @@ class SoundStreamTrainer(_TrainerBase):
                 _, rq_nonbuf = partition_buffers(model.rq)
                 model = evolve(model, rq=combine(bufs, rq_nonbuf))
                 total, breakdown, new_model = model(
-                    wave, key=key, train=True, return_loss_breakdown=True,
+                    wave_, key=key, train=True, return_loss_breakdown=True,
                     axis_name=axis)
                 new_bufs, _ = partition_buffers(new_model.rq)
+                if bf16:
+                    # buffers are fp32 masters: restore their dtype after the
+                    # bf16 forward so EMA state never accumulates in bf16
+                    new_bufs = jax.tree_util.tree_map(
+                        lambda n, o: n.astype(o.dtype)
+                        if hasattr(o, "dtype") else n, new_bufs, bufs)
                 return total, (jnp.stack(list(breakdown)), new_bufs)
             (loss, (bd, new_bufs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             return loss, bd, new_bufs, grads
@@ -388,13 +406,22 @@ class SoundStreamTrainer(_TrainerBase):
         tx = self.discr_tx
         accum = self.grad_accum_every
         axis = data_axis_name if self.mesh is not None else None
+        # keep the grad-penalty step in fp32: GP is grad-of-grad through the
+        # discriminators and bf16 second derivatives are numerically fragile
+        bf16 = self.bf16_compute and not apply_gp
 
         def step(params, rest, opt_state, waves, key):
             def scan_body(gacc, inp):
                 wave, k = inp
                 def loss_fn(p):
+                    if bf16:
+                        from ..nn.module import cast_floats
+                        p = cast_floats(p, jnp.bfloat16)
+                        wave_ = wave.astype(jnp.bfloat16)
+                    else:
+                        wave_ = wave
                     model = combine(p, rest)
-                    return model(wave, key=k, return_discr_loss=True,
+                    return model(wave_, key=k, return_discr_loss=True,
                                  apply_grad_penalty=apply_gp, axis_name=axis)
                 loss, grads = jax.value_and_grad(loss_fn)(params)
                 gacc = _tree_acc(gacc, grads, 1.0 / accum)
@@ -618,15 +645,21 @@ class _TransformerTrainerBase(_TrainerBase):
         self.steps += 1
 
         if self.is_main and self.steps % self.save_results_every == 0:
-            self.key, kv = jax.random.split(self.key)
-            vbatch = next(self.valid_dl_iter)
-            vkwargs = self._batch_to_kwargs(vbatch)
-            vtexts = vkwargs.pop("text", None)
-            if vtexts is not None:
-                vkwargs["text_embeds"] = np.asarray(
-                    self.wrapper.transformer.embed_text(vtexts))
-            vkwargs = {k: jnp.asarray(v) for k, v in vkwargs.items()}
-            vloss = float(self._valid_step(self.wrapper, vkwargs, kv))
+            # average the valid loss over grad_accum_every batches, matching
+            # the reference (trainer.py:968-984 runs grad_accum_every valid
+            # forwards and averages)
+            vlosses = []
+            for _ in range(self.grad_accum_every):
+                self.key, kv = jax.random.split(self.key)
+                vbatch = next(self.valid_dl_iter)
+                vkwargs = self._batch_to_kwargs(vbatch)
+                vtexts = vkwargs.pop("text", None)
+                if vtexts is not None:
+                    vkwargs["text_embeds"] = np.asarray(
+                        self.wrapper.transformer.embed_text(vtexts))
+                vkwargs = {k: jnp.asarray(v) for k, v in vkwargs.items()}
+                vlosses.append(float(self._valid_step(self.wrapper, vkwargs, kv)))
+            vloss = float(np.mean(vlosses))
             logs["valid_loss"] = vloss
             self.metrics.log(self.steps, valid_loss=vloss)
             self.print(f"{self.steps}: valid loss {vloss:.4f}")

@@ -1,31 +1,41 @@
-"""Benchmark: SoundStream codec encode+decode real-time factor on one chip.
+"""Driver benchmark: ONE JSON line with the three headline metrics.
 
-Workload: the reference's AudioLM codec preset (320x downsample @16 kHz,
-12 quantizers, codebook 1024 — soundstream.py:999-1010) on a batch of 2 s
-clips. Metric = seconds of audio processed per wall second through the full
-tokenize -> decode_from_codebook_indices round trip (both directions jitted).
+1. codec_encode_decode_rtf_2s_16khz (primary `value`): SoundStream AudioLM
+   preset (320x downsample @ 16 kHz, 12 quantizers, codebook 1024 -
+   reference soundstream.py:999-1010), batch of 2 s clips, full
+   tokenize -> decode round trip, both directions jitted, bf16 compute.
+   Target from BASELINE.md: > 50x real-time per chip.
+2. lm_train_tokens_per_s (+ lm_train_mfu): one jitted semantic-LM training
+   step (dim 1024, depth 6, vocab 500 - reference README.md:170-175) at
+   batch 8 x seq 512, bf16 compute with fp32 masters, adam update included.
+   MFU uses the standard 6*N*T + 12*L*D*T*S transformer FLOP model against
+   the v5e bf16 peak (197 TFLOP/s).
+3. gen_3stage_rtf: full semantic -> coarse -> fine generation at the
+   reference configs (semantic 1024x6, coarse/fine 512x6, Q=3+5 - reference
+   README.md:203-240), batch 1, jitted while-loop samplers with early-EOS
+   exit. RTF counts PRODUCED audio seconds (EOS-truncated rows counted
+   honestly by valid coarse frames / 50 Hz).
 
-Target from BASELINE.md: > 50x real-time per chip.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Sections are failure-isolated: a section that raises reports null for its
+fields (error recorded in bench_errors) without killing the line.
 """
 import json
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+V5E_BF16_PEAK_FLOPS = 197e12
 
 
-def main():
+def bench_codec(out):
     from audiolm_pytorch_tpu.models.soundstream import AudioLMSoundStream
 
     codec = AudioLMSoundStream(codebook_size=1024, compute_dtype="bfloat16",
                                key=jax.random.PRNGKey(0))
-
-    batch = 8
-    seconds = 2.0
-    sr = codec.target_sample_hz
-    n = int(seconds * sr)
+    batch, seconds = 8, 2.0
+    n = int(seconds * codec.target_sample_hz)
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, n), jnp.float32) * 0.1
 
     @jax.jit
@@ -33,24 +43,134 @@ def main():
         codes = codec(x, return_codes_only=True)
         return codec.decode_from_codebook_indices(codes)
 
-    # warmup / compile
     roundtrip(codec, x).block_until_ready()
-
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = roundtrip(codec, x)
-    out.block_until_ready()
-    elapsed = time.perf_counter() - t0
+        y = roundtrip(codec, x)
+    y.block_until_ready()
+    rtf = batch * seconds * iters / (time.perf_counter() - t0)
+    out["value"] = round(rtf, 2)
+    out["vs_baseline"] = round(rtf / 50.0, 3)
 
-    audio_seconds = batch * seconds * iters
-    rtf = audio_seconds / elapsed
-    print(json.dumps({
+
+def bench_lm_train(out):
+    import optax
+    from audiolm_pytorch_tpu.models.lm import SemanticTransformer
+    from audiolm_pytorch_tpu.models.wrappers import SemanticTransformerWrapper
+    from audiolm_pytorch_tpu.nn.module import (cast_floats, combine,
+                                               partition_trainable, tree_size)
+
+    dim, depth, seq, batch = 1024, 6, 512, 8
+    model = SemanticTransformer(dim=dim, depth=depth, heads=8,
+                                num_semantic_tokens=500,
+                                key=jax.random.PRNGKey(0))
+    wrapper = SemanticTransformerWrapper(transformer=model)
+    params, rest = partition_trainable(wrapper)
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(params)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (batch, seq), 0, 500)
+
+    @jax.jit
+    def step(params, opt_state, ids, key):
+        def loss_fn(p):
+            p16 = cast_floats(p, jnp.bfloat16)
+            w = combine(p16, rest)
+            return w(semantic_token_ids=ids, return_loss=True, train=True,
+                     key=key)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(2)
+    params, opt_state, loss = step(params, opt_state, ids, key)
+    loss.block_until_ready()
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state, ids, key)
+    loss.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    tokens = batch * seq
+    tps = tokens / dt
+    n_params = tree_size(params)
+    flops = 6.0 * n_params * tokens + 12.0 * depth * dim * tokens * seq
+    out["lm_train_tokens_per_s"] = round(tps)
+    out["lm_train_ms_per_step"] = round(dt * 1e3, 2)
+    out["lm_train_mfu"] = round(flops / dt / V5E_BF16_PEAK_FLOPS, 4)
+
+
+def bench_gen_3stage(out):
+    from audiolm_pytorch_tpu.models.lm import (CoarseTransformer,
+                                               FineTransformer,
+                                               SemanticTransformer)
+    from audiolm_pytorch_tpu.models.soundstream import AudioLMSoundStream
+    from audiolm_pytorch_tpu.models.wrappers import (
+        CoarseTransformerWrapper, FineTransformerWrapper,
+        SemanticTransformerWrapper)
+
+    key = jax.random.PRNGKey(0)
+    codec = AudioLMSoundStream(codebook_size=1024, rq_num_quantizers=8,
+                               key=key)
+    semantic = SemanticTransformer(dim=1024, depth=6, heads=8,
+                                   num_semantic_tokens=500, key=key)
+    coarse = CoarseTransformer(num_semantic_tokens=500, codebook_size=1024,
+                               num_coarse_quantizers=3, dim=512, depth=6,
+                               heads=8, key=key)
+    fine = FineTransformer(num_coarse_quantizers=3, num_fine_quantizers=5,
+                           codebook_size=1024, dim=512, depth=6, heads=8,
+                           key=key)
+    sem_w = SemanticTransformerWrapper(transformer=semantic)
+    coarse_w = CoarseTransformerWrapper(transformer=coarse, codec=codec)
+    fine_w = FineTransformerWrapper(transformer=fine, codec=codec)
+
+    frames = 150  # 3 s at the 50 Hz coarse/semantic frame rate
+    frame_hz = codec.target_sample_hz / codec.seq_len_multiple_of  # 50.0
+
+    def run(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        sem = sem_w.generate(batch_size=1, max_length=frames, key=k1)
+        co = coarse_w.generate(semantic_token_ids=sem, max_time_steps=frames,
+                               reconstruct_wave=False, key=k2)
+        wave = fine_w.generate(coarse_token_ids=co, reconstruct_wave=True,
+                               key=k3)
+        return sem, co, wave
+
+    sem, co, wave = jax.tree_util.tree_map(
+        lambda x: x.block_until_ready(), run(jax.random.PRNGKey(3)))
+    t0 = time.perf_counter()
+    sem, co, wave = run(jax.random.PRNGKey(4))
+    wave.block_until_ready()
+    dt = time.perf_counter() - t0
+    # honest RTF: only audio actually produced counts (EOS truncation -> -1s)
+    valid_frames = float(jnp.sum(jnp.all(co != -1, axis=-1)))
+    audio_seconds = valid_frames / float(frame_hz)
+    out["gen_3stage_rtf"] = round(audio_seconds / dt, 2)
+    out["gen_3stage_audio_seconds"] = round(audio_seconds, 2)
+    out["gen_3stage_wall_seconds"] = round(dt, 3)
+
+
+def main():
+    out = {
         "metric": "codec_encode_decode_rtf_2s_16khz",
-        "value": round(rtf, 2),
+        "value": None,
         "unit": "x_realtime_per_chip",
-        "vs_baseline": round(rtf / 50.0, 3),
-    }))
+        "vs_baseline": None,
+        "lm_train_tokens_per_s": None,
+        "lm_train_ms_per_step": None,
+        "lm_train_mfu": None,
+        "gen_3stage_rtf": None,
+        "gen_3stage_audio_seconds": None,
+        "gen_3stage_wall_seconds": None,
+        "bench_errors": [],
+    }
+    for name, fn in (("codec", bench_codec), ("lm_train", bench_lm_train),
+                     ("gen_3stage", bench_gen_3stage)):
+        try:
+            fn(out)
+        except Exception as e:  # failure-isolated sections
+            out["bench_errors"].append(f"{name}: {type(e).__name__}: {e}")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

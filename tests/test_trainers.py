@@ -229,3 +229,22 @@ def test_gan_grad_accum_chains_vq_ema(sine_folder, tmp_path):
                     jax.tree_util.tree_leaves(expected)):
         np.testing.assert_allclose(np.asarray(g), np.asarray(e),
                                    rtol=2e-4, atol=1e-5)  # jit-vs-eager noise
+
+
+def test_soundstream_trainer_bf16(sine_folder, tmp_path):
+    """bf16 GAN step (fp32 masters, bf16 conv/discriminator compute, fp32
+    loss aggregation; GP step stays fp32). NOTES r1 item 2."""
+    ss = tiny_soundstream()
+    trainer = SoundStreamTrainer(
+        ss, folder=str(sine_folder), batch_size=2, grad_accum_every=2,
+        num_train_steps=2, data_max_length=1024, save_results_every=100,
+        save_model_every=100, results_folder=str(tmp_path / "results"),
+        warmup_steps=1, apply_grad_penalty_every=2, data_parallel=False,
+        bf16_compute=True)
+    logs = trainer.train_step()
+    assert np.isfinite(logs["loss"]) and np.isfinite(logs["discr_loss"])
+    logs2 = trainer.train_step()  # grad-penalty cadence -> fp32 D step
+    assert np.isfinite(logs2["discr_loss"])
+    # masters stay fp32
+    leaf = trainer.model.encoder_init.weight
+    assert leaf.dtype == jnp.float32
