@@ -219,10 +219,16 @@ def test_gan_grad_accum_chains_vq_ema(sine_folder, tmp_path):
     got, _ = partition_buffers(new_model.rq)
 
     # reference: two sequential train forwards threading the VQ buffers,
-    # params held fixed (exactly what the scan body should compute)
-    m = trainer.model
-    for i, k in enumerate(jax.random.split(key, 2)):
-        _, _, m = m(waves[i], key=k, train=True, return_loss_breakdown=True)
+    # params held fixed (exactly what the scan body should compute). Jitted
+    # as one program so kmeans/argmin tie-breaks see the same fused numerics
+    # as the scan inside _g_step (eager vs jit can flip near-tie argmins).
+    @jax.jit
+    def two_forwards(m, waves, key):
+        for i, k in enumerate(jax.random.split(key, 2)):
+            _, _, m = m(waves[i], key=k, train=True, return_loss_breakdown=True)
+        return m
+
+    m = two_forwards(trainer.model, waves, key)
     expected, _ = partition_buffers(m.rq)
 
     for g, e in zip(jax.tree_util.tree_leaves(got),
