@@ -178,3 +178,44 @@ def test_vq_ema_psum_keeps_replicas_identical():
     e2 = float(jnp.mean((xq2 - x) ** 2))
     e3 = float(jnp.mean((xq3 - x) ** 2))
     assert e2 < 0.1 and e3 < 0.1
+
+
+def test_vq_distance_argmin_matches_torch_fp32():
+    """Toward bit-exact token streams (BASELINE.md row 'token-stream
+    equivalence'): the fp32 expanded squared-distance + argmin must pick the
+    same codes as torch's reference computation, including lowest-index
+    tie-breaking (both jnp.argmin and torch.argmin return the FIRST minimal
+    index)."""
+    torch = pytest.importorskip("torch")
+    from audiolm_pytorch_tpu.ops.quantize import _sq_dist
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(257, 16)).astype(np.float32)
+    cb = rng.normal(size=(64, 16)).astype(np.float32)
+    # inject exact ties: duplicate codebook rows, and duplicate an input row
+    cb[17] = cb[3]
+    cb[50] = cb[3]
+    x[5] = cb[3]
+
+    d_j = np.asarray(_sq_dist(jnp.asarray(x), jnp.asarray(cb)))
+    xt, ct = torch.from_numpy(x), torch.from_numpy(cb)
+    d_t = (xt.pow(2).sum(-1, keepdim=True)
+           - 2 * xt @ ct.T + ct.pow(2).sum(-1)).numpy()
+    np.testing.assert_allclose(d_j, d_t, rtol=1e-5, atol=1e-4)
+
+    idx_j = np.asarray(jnp.argmin(jnp.asarray(d_j), axis=-1))
+    idx_t = torch.argmin(torch.from_numpy(d_j), dim=-1).numpy()
+    np.testing.assert_array_equal(idx_j, idx_t)
+    assert idx_j[5] == 3  # exact-duplicate row -> lowest index wins
+
+
+def test_vq_encode_fp32_invariant_to_input_dtype():
+    """encode() must produce identical code indices for bf16 and fp32 inputs
+    that round-trip exactly (bf16-representable values): the distance/argmin
+    always runs in fp32."""
+    key = jax.random.PRNGKey(3)
+    vq = VectorQuantizeEMA(8, 32, key=key)
+    x = jax.random.normal(key, (4, 16, 8)).astype(jnp.bfloat16)
+    idx16 = vq.encode(x)
+    idx32 = vq.encode(x.astype(jnp.float32))
+    np.testing.assert_array_equal(np.asarray(idx16), np.asarray(idx32))

@@ -1,0 +1,65 @@
+"""Streaming codec decode: chunked outputs must equal the offline decode."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiolm_pytorch_tpu.serving import StreamingCodecDecoder, decode_lookback_frames
+from tests.test_soundstream import tiny_soundstream
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _codes_for(codec, n_frames, key=KEY):
+    x = 0.3 * jax.random.normal(key, (2, n_frames * codec.seq_len_multiple_of))
+    return codec(x, return_codes_only=True)  # (G, B, N, Q)
+
+
+def test_lookback_is_finite_and_reasonable():
+    codec = tiny_soundstream()
+    lb = decode_lookback_frames(codec)
+    assert 0 < lb < 1000
+
+
+def test_streaming_decode_no_attn_exact():
+    codec = tiny_soundstream(attn_window_size=None, use_local_attn=False)
+    codes = _codes_for(codec, 96)
+    full = np.asarray(codec.decode_from_codebook_indices(codes))
+
+    dec = StreamingCodecDecoder(codec, chunk_frames=8)
+    outs = []
+    codes_np = np.asarray(codes)
+    for i in range(0, codes_np.shape[2], 5):  # push in uneven bites of 5
+        outs.append(dec.push(codes_np[:, :, i:i + 5]))
+    outs.append(dec.flush())
+    stream = np.concatenate(outs, axis=-1)
+    assert stream.shape == full.shape
+    np.testing.assert_array_equal(stream, full)  # causal => bit-exact
+
+
+def test_streaming_decode_with_local_attn_close():
+    codec = tiny_soundstream()  # attn_window_size=16
+    codes = _codes_for(codec, 96, key=jax.random.PRNGKey(1))
+    full = np.asarray(codec.decode_from_codebook_indices(codes))
+
+    dec = StreamingCodecDecoder(codec, chunk_frames=16)
+    outs = [dec.push(np.asarray(codes))]
+    outs.append(dec.flush())
+    stream = np.concatenate(outs, axis=-1)
+    assert stream.shape == full.shape
+    # xpos scales are relative only up to float assoc; windows re-bucket
+    np.testing.assert_allclose(stream, full, rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_flat_layout_and_empty_push():
+    codec = tiny_soundstream(attn_window_size=None, use_local_attn=False)
+    codes = _codes_for(codec, 24)
+    g, b, n, q = codes.shape
+    flat = np.asarray(codes).transpose(1, 2, 0, 3).reshape(b, n, g * q)
+    full = np.asarray(codec.decode_from_codebook_indices(codes))
+
+    dec = StreamingCodecDecoder(codec, chunk_frames=64)  # bigger than stream
+    out = dec.push(flat)
+    assert out.shape[-1] == 0  # nothing ready yet
+    tail = dec.flush()
+    np.testing.assert_array_equal(tail, full)
