@@ -165,6 +165,263 @@ def _kernel_dispatch(*refs, has_bias, has_kmask, **kw):
             m_s, l_s, acc_s, **kw)
 
 
+def _dq_kernel(q_ref, k_ref, v_ref, lse_ref, delta_ref, g_ref, bias_ref,
+               kmask_ref, dq_ref, dq_scratch, *, causal: bool, scale: float,
+               block_q: int, block_k: int, num_k_blocks: int):
+    """Fused dq pass: grid (BH, nq, nk), kv axis innermost; dq accumulates in
+    VMEM scratch across kv steps (classic flash backward, recomputing P from
+    the forward's logsumexp)."""
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    def compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        g = g_ref[0].astype(jnp.float32)
+        lse = lse_ref[0]              # (BQ, 1) fp32
+        delta = delta_ref[0]          # (BQ, 1) fp32
+        s = scale * jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        if bias_ref is not None:
+            s = s + bias_ref[0].astype(jnp.float32)
+        if kmask_ref is not None:
+            s = jnp.where(kmask_ref[0, 0][None, :] != 0, s, _NEG_INF)
+        if causal:
+            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            k_pos = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(k_pos <= q_pos, s, _NEG_INF)
+        p = jnp.exp(s - lse)
+        # fully-masked rows store lse ~ -inf -> zero their contribution
+        p = jnp.where(lse > _NEG_INF / 2, p, 0.0)
+        dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dq_scratch[:] += scale * jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if causal:
+        @pl.when(ki * block_k <= qi * block_q + block_q - 1)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        dq_ref[0] = dq_scratch[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, lse_ref, delta_ref, g_ref, bias_ref,
+                kmask_ref, dk_ref, dv_ref, dk_scratch, dv_scratch, *,
+                causal: bool, scale: float, block_q: int, block_k: int,
+                inner_steps: int, nq: int):
+    """Fused dk/dv pass: grid (B*Hk, nk, group*nq) with the (head, q-block)
+    pair enumerated on the innermost sequential axis, so MQA head-summation
+    folds into the same VMEM accumulation as the q sweep."""
+    kj = pl.program_id(1)
+    t = pl.program_id(2)
+    qi = t % nq
+
+    @pl.when(t == 0)
+    def _init():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    def compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        g = g_ref[0].astype(jnp.float32)
+        lse = lse_ref[0]
+        delta = delta_ref[0]
+        s = scale * jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        if bias_ref is not None:
+            s = s + bias_ref[0].astype(jnp.float32)
+        if kmask_ref is not None:
+            s = jnp.where(kmask_ref[0, 0][None, :] != 0, s, _NEG_INF)
+        if causal:
+            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            k_pos = kj * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(k_pos <= q_pos, s, _NEG_INF)
+        p = jnp.exp(s - lse)
+        p = jnp.where(lse > _NEG_INF / 2, p, 0.0)
+        dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk_scratch[:] += scale * jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (BK, D)
+        dv_scratch[:] += jax.lax.dot_general(
+            p, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (BK, D)
+
+    if causal:
+        @pl.when(kj * block_k <= qi * block_q + block_q - 1)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(t == inner_steps - 1)
+    def _finalize():
+        dk_ref[0] = dk_scratch[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_fused(q, k, v, key_mask, out, lse, g, *, causal, scale,
+                     block_q, block_k, interpret):
+    """Fully-fused pallas backward (bias-less path): two kernels, dq then
+    dk/dv, both recomputing P blockwise from the saved logsumexp. O(N) memory,
+    all matmuls on the MXU."""
+    b, h, n, d = q.shape
+    hk = k.shape[1]
+    m = k.shape[2]
+    group = h // hk
+
+    block_q = min(block_q, max(16, 1 << (n - 1).bit_length()))
+    block_k = min(block_k, max(16, 1 << (m - 1).bit_length()))
+    pad_n = (-n) % block_q
+    pad_m = (-m) % block_k
+
+    gf = g.astype(jnp.float32)
+    delta = jnp.sum(gf * out.astype(jnp.float32), axis=-1)  # (B, H, N)
+
+    if pad_n:
+        cfg = ((0, 0), (0, 0), (0, pad_n), (0, 0))
+        q = jnp.pad(q, cfg)
+        g = jnp.pad(g, cfg)
+        # padded query rows: lse=+inf -> p = exp(s - inf) = 0 exactly
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, pad_n)),
+                      constant_values=-_NEG_INF)
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, pad_n)))
+    if pad_m:
+        cfg = ((0, 0), (0, 0), (0, pad_m), (0, 0))
+        k = jnp.pad(k, cfg)
+        v = jnp.pad(v, cfg)
+        key_mask = jnp.pad(key_mask if key_mask is not None
+                           else jnp.ones((b, m), bool), ((0, 0), (0, pad_m)))
+    np_, mp_ = n + pad_n, m + pad_m
+    nq = np_ // block_q
+    nk = mp_ // block_k
+
+    qf = q.reshape(b * h, np_, d)
+    gf = g.reshape(b * h, np_, d)
+    kf = k.reshape(b * hk, mp_, d)
+    vf = v.reshape(b * hk, mp_, d)
+    lsef = lse.reshape(b * h, np_, 1).astype(jnp.float32)
+    deltaf = delta.reshape(b * h, np_, 1).astype(jnp.float32)
+    kmask_f = (key_mask.astype(jnp.int8)[:, None, :]
+               if key_mask is not None else None)
+
+    # ---- dq pass: grid (BH, nq, nk) ----
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bb, i, j: (bb, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), lambda bb, i, j: (bb // group, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), lambda bb, i, j: (bb // group, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, 1), lambda bb, i, j: (bb, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, 1), lambda bb, i, j: (bb, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, d), lambda bb, i, j: (bb, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qf, kf, vf, lsef, deltaf, gf]
+    if kmask_f is not None:
+        in_specs.append(pl.BlockSpec((1, 1, block_k),
+                                     lambda bb, i, j: (bb // h, 0, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(kmask_f)
+
+    def dq_dispatch(*refs):
+        idx = 6
+        kmask_ref = refs[idx] if kmask_f is not None else None
+        idx += 1 if kmask_f is not None else 0
+        _dq_kernel(refs[0], refs[1], refs[2], refs[3], refs[4], refs[5], None,
+                   kmask_ref, refs[idx], refs[idx + 1], causal=causal,
+                   scale=scale, block_q=block_q, block_k=block_k,
+                   num_k_blocks=nk)
+
+    dq = pl.pallas_call(
+        dq_dispatch,
+        grid=(b * h, nq, nk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bb, i, j: (bb, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, np_, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+
+    # ---- dk/dv pass: grid (B*Hk, nk, group*nq) ----
+    inner = group * nq
+
+    qix = lambda bb, j, t: (bb * group + t // nq, t % nq, 0)
+    in_specs2 = [
+        pl.BlockSpec((1, block_q, d), qix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), lambda bb, j, t: (bb, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), lambda bb, j, t: (bb, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, 1), qix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, 1), qix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, d), qix, memory_space=pltpu.VMEM),
+    ]
+    args2 = [qf, kf, vf, lsef, deltaf, gf]
+    if kmask_f is not None:
+        in_specs2.append(pl.BlockSpec(
+            (1, 1, block_k),
+            lambda bb, j, t: ((bb * group + t // nq) // h, 0, j),
+            memory_space=pltpu.VMEM))
+        args2.append(kmask_f)
+
+    def dkv_dispatch(*refs):
+        idx = 6
+        kmask_ref = refs[idx] if kmask_f is not None else None
+        idx += 1 if kmask_f is not None else 0
+        _dkv_kernel(refs[0], refs[1], refs[2], refs[3], refs[4], refs[5], None,
+                    kmask_ref, refs[idx], refs[idx + 1], refs[idx + 2],
+                    refs[idx + 3], causal=causal, scale=scale, block_q=block_q,
+                    block_k=block_k, inner_steps=inner, nq=nq)
+
+    dk, dv = pl.pallas_call(
+        dkv_dispatch,
+        grid=(b * hk, nk, inner),
+        in_specs=in_specs2,
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda bb, j, t: (bb, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bb, j, t: (bb, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * hk, mp_, d), k.dtype),
+            jax.ShapeDtypeStruct((b * hk, mp_, d), v.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        interpret=interpret,
+    )(*args2)
+
+    dq = dq.reshape(b, h, np_, d)[:, :, :n]
+    dk = dk.reshape(b, hk, mp_, d)[:, :, :m]
+    dv = dv.reshape(b, hk, mp_, d)[:, :, :m]
+    return dq, dk, dv
+
+
 def _math_reference(q, k, v, bias, key_mask, causal, scale):
     """Same semantics as the kernel, in plain XLA — used as the backward
     (flash fwd + math bwd until the dedicated backward kernel lands)."""
@@ -292,6 +549,13 @@ def _make_vjp_fn(causal, scale, block_q, block_k, interpret, has_bias, has_kmask
 
     def bwd(res, g):
         q, k, v, bias, key_mask, out, lse = res
+        if bias is None:
+            # fully-fused pallas dq + dkv kernels (no dbias needed)
+            dq, dk, dv = _flash_bwd_fused(
+                q, k, v, key_mask, out, lse, g, causal=causal, scale=scale,
+                block_q=block_q, block_k=block_k, interpret=interpret)
+            return dq, dk, dv, None, None
+        # bias requires a gradient: chunked XLA recurrence (computes dbias)
         dq, dk, dv, dbias = _flash_bwd_chunked(
             q, k, v, bias, key_mask, out, lse, g, causal=causal, scale=scale,
             block_k=block_k)

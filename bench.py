@@ -108,10 +108,11 @@ def bench_gen_3stage(out):
     from audiolm_pytorch_tpu.models.wrappers import (
         CoarseTransformerWrapper, FineTransformerWrapper,
         SemanticTransformerWrapper)
+    from audiolm_pytorch_tpu.nn.module import cast_floats
 
     key = jax.random.PRNGKey(0)
     codec = AudioLMSoundStream(codebook_size=1024, rq_num_quantizers=8,
-                               key=key)
+                               compute_dtype="bfloat16", key=key)
     semantic = SemanticTransformer(dim=1024, depth=6, heads=8,
                                    num_semantic_tokens=500, key=key)
     coarse = CoarseTransformer(num_semantic_tokens=500, codebook_size=1024,
@@ -120,6 +121,10 @@ def bench_gen_3stage(out):
     fine = FineTransformer(num_coarse_quantizers=3, num_fine_quantizers=5,
                            codebook_size=1024, dim=512, depth=6, heads=8,
                            key=key)
+    # serving dtype: bf16 weights halve per-token HBM reads (decode is
+    # bandwidth-bound at batch 1); softmax/sampling statistics stay fp32
+    semantic, coarse, fine = (cast_floats(m, jnp.bfloat16)
+                              for m in (semantic, coarse, fine))
     sem_w = SemanticTransformerWrapper(transformer=semantic)
     coarse_w = CoarseTransformerWrapper(transformer=coarse, codec=codec)
     fine_w = FineTransformerWrapper(transformer=fine, codec=codec)

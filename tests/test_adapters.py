@@ -46,7 +46,20 @@ def test_vq_wav2vec_shapes():
     assert ids.shape[0] == 2 and ids.shape[-1] == 2
     flat = vq(wav, flatten=True)
     assert flat.shape == (2, ids.shape[1] * 2)
-    assert vq.groups == 2 and vq.downsample_factor == 80
+    # released encoder = 8 convs, total stride 160 (the reference hardcodes 80
+    # with a "todo: double check" — vq_wav2vec.py:54-56)
+    assert vq.groups == 2 and vq.downsample_factor == 160
+    assert int(flat.max()) < 16
+
+
+def test_vq_wav2vec_skip_and_logcompression_paths():
+    vq = FairseqVQWav2Vec(
+        conv_spec=((8, 10, 5), (8, 4, 2), (8, 1, 1)), codebook_size=12,
+        num_groups=2, skip_connections=True, log_compression=True,
+        combine_groups=True, key=KEY)
+    assert vq.downsample_factor == 10
+    ids = vq(jax.random.normal(KEY, (2, 400)), flatten=False)
+    assert ids.shape[-1] == 2 and int(ids.max()) < 12
 
 
 def test_encodec_wrapper_roundtrip():

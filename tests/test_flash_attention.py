@@ -91,3 +91,45 @@ def test_flash_bf16():
     out = flash_attention(q, k, v, causal=True, block_q=32, block_k=32)
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("mqa", [False, True])
+@pytest.mark.parametrize("causal", [False, True])
+def test_fused_pallas_backward_matches_math(mqa, causal):
+    """The bias-less backward runs the fully-fused pallas dq/dkv kernels
+    (not the chunked XLA recurrence) — parity vs math-path autodiff."""
+    q, k, v = make_qkv(n=48, m=48, mqa=mqa)
+    mask = jnp.ones((2, 48), bool).at[1, 35:].set(False)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, key_mask=mask, causal=causal,
+                                       block_q=16, block_k=16) ** 2)
+
+    def loss_math(q, k, v):
+        return jnp.sum(attend(q, k, v, mask=mask[:, None, None, :],
+                              causal=causal) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_math, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2,
+                                   atol=1e-3)
+
+
+def test_fused_pallas_backward_unaligned_no_mask():
+    """Padding path of the fused backward: no key_mask given, lengths not a
+    multiple of the block size (padded lse rows must contribute zero)."""
+    q, k, v = make_qkv(n=50, m=50)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True,
+                                       block_q=16, block_k=16) ** 2)
+
+    def loss_math(q, k, v):
+        return jnp.sum(attend(q, k, v, causal=True) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_math, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2,
+                                   atol=1e-3)

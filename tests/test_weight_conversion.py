@@ -194,3 +194,90 @@ def test_t5_conversion_against_transformers():
     # valid positions numerically and the padded ones for the zeroing
     np.testing.assert_allclose(got[mask], ref[mask], rtol=2e-4, atol=2e-4)
     assert np.all(got[~mask] == 0.0)
+
+
+def make_torch_vqw2v(spec=((8, 10, 5), (8, 4, 2), (8, 1, 1)), groups=2,
+                     num_vars=12):
+    """Torch replica of the fairseq Wav2VecModel pieces the reference uses
+    (ConvFeatureExtractionModel + KmeansVectorQuantizer), with fairseq's
+    exact module paths so the saved state dict has the real key layout."""
+    import torch.nn as nn
+
+    dim = spec[-1][0]
+
+    class Replica(nn.Module):
+        def __init__(self):
+            super().__init__()
+            convs = []
+            cin = 1
+            for cout, k, s in spec:
+                convs.append(nn.Sequential(
+                    nn.Conv1d(cin, cout, k, stride=s, bias=False),
+                    nn.Dropout(0.0),
+                    nn.GroupNorm(1, cout),
+                    nn.ReLU()))
+                cin = cout
+            fe = nn.Module()
+            fe.conv_layers = nn.ModuleList(convs)
+            self.feature_extractor = fe
+            vq = nn.Module()
+            vq.projection = nn.Sequential(
+                nn.Conv1d(dim, dim, 1, groups=groups, bias=False),
+                nn.GroupNorm(groups, dim))
+            vq.embedding = nn.Parameter(
+                0.5 * torch.randn(num_vars, groups, dim // groups))
+            self.vector_quantizer = vq
+            self.groups = groups
+
+        def forward(self, wav):
+            x = wav.unsqueeze(1)
+            for c in self.feature_extractor.conv_layers:
+                x = c(x)
+            ze = self.vector_quantizer.projection(x)  # (B, D, T)
+            b, d, t = ze.shape
+            g = self.groups
+            ze_ = ze.view(b, g, d // g, t)
+            emb = self.vector_quantizer.embedding  # (V, G, Dg)
+            dist = ((ze_.unsqueeze(1) - emb[None, :, :, :, None]) ** 2
+                    ).sum(3)  # (B, V, G, T)
+            idx = dist.argmin(dim=1)  # (B, G, T)
+            return x, idx.permute(0, 2, 1)  # features, ids (B, T, G)
+
+    torch.manual_seed(3)
+    return Replica().eval()
+
+
+def test_vq_wav2vec_conversion_against_torch(tmp_path):
+    """Full-checkpoint load of the fairseq vq-wav2vec layout + numeric parity
+    of conv/groupnorm/grouped-projection/argmin against a torch replica
+    (reference frozen model: /root/reference/audiolm_pytorch/vq_wav2vec.py:40-76)."""
+    import argparse
+    from audiolm_pytorch_tpu.models.vq_wav2vec import FairseqVQWav2Vec
+
+    spec = ((8, 10, 5), (8, 4, 2), (8, 1, 1))
+    ref = make_torch_vqw2v(spec=spec)
+    args = argparse.Namespace(
+        conv_feature_layers=str(list(spec)), vq_vars=12, vq_groups=2,
+        log_compression=False, skip_connections_feat=False,
+        residual_scale=0.5, activation="relu")
+    path = tmp_path / "vq_wav2vec_kmeans.pt"
+    torch.save({"args": args, "model": ref.state_dict()}, path)
+
+    ours = FairseqVQWav2Vec(str(path), key=KEY)
+    assert ours.pretrained and ours.codebook_size == 12
+    assert ours.downsample_factor == 10 and ours.groups == 2
+
+    rng = np.random.default_rng(1)
+    wav = rng.standard_normal((2, 500)).astype(np.float32)
+    with torch.no_grad():
+        feats_t, ids_t = ref(torch.from_numpy(wav))
+    feats_j = ours._features(jnp.asarray(wav))
+    np.testing.assert_allclose(
+        np.asarray(feats_j), feats_t.numpy().transpose(0, 2, 1),
+        rtol=2e-5, atol=2e-5)
+    ids_j = ours(jnp.asarray(wav), flatten=False)
+    np.testing.assert_array_equal(np.asarray(ids_j), ids_t.numpy())
+    # flatten interleaves groups like the reference rearrange 'b t g -> b (t g)'
+    flat = ours(jnp.asarray(wav))
+    np.testing.assert_array_equal(
+        np.asarray(flat), ids_t.numpy().reshape(2, -1))
