@@ -36,10 +36,15 @@ def attend(q, k, v, *, mask=None, attn_bias=None, causal: bool = False,
     (B, H, N, D).
     """
     scale = scale if scale is not None else q.shape[-1] ** -0.5
-    qf = q.astype(jnp.float32) * scale
-    kf = k.astype(jnp.float32)
-    sim = jnp.einsum("bhnd,bkmd->bhnm", qf, kf) if k.shape[1] != q.shape[1] and k.shape[1] == 1 \
-        else jnp.einsum("bhnd,bhmd->bhnm", qf, kf)
+    # matmuls run in the INPUT dtype on the MXU with fp32 accumulation
+    # (bf16-in/fp32-acc is 2x the fp32 MXU rate and halves HBM traffic for
+    # the attention matrix under bf16 compute); softmax statistics stay fp32
+    qs = q * jnp.asarray(scale, q.dtype)
+    sim = jnp.einsum("bhnd,bkmd->bhnm", qs, k,
+                     preferred_element_type=jnp.float32) \
+        if k.shape[1] != q.shape[1] and k.shape[1] == 1 \
+        else jnp.einsum("bhnd,bhmd->bhnm", qs, k,
+                        preferred_element_type=jnp.float32)
     if attn_bias is not None:
         sim = sim + attn_bias.astype(sim.dtype)
     if causal:
@@ -52,9 +57,12 @@ def attend(q, k, v, *, mask=None, attn_bias=None, causal: bool = False,
     if dropout_rate > 0.0 and dropout_key is not None:
         keep = jax.random.bernoulli(dropout_key, 1.0 - dropout_rate, attn.shape)
         attn = jnp.where(keep, attn / (1.0 - dropout_rate), 0.0)
-    vf = v.astype(jnp.float32)
-    out = jnp.einsum("bhnm,bkmd->bhnd", attn, vf) if v.shape[1] != q.shape[1] and v.shape[1] == 1 \
-        else jnp.einsum("bhnm,bhmd->bhnd", attn, vf)
+    attn = attn.astype(v.dtype)
+    out = jnp.einsum("bhnm,bkmd->bhnd", attn, v,
+                     preferred_element_type=jnp.float32) \
+        if v.shape[1] != q.shape[1] and v.shape[1] == 1 \
+        else jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                        preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
 
 
@@ -106,16 +114,18 @@ def local_attention(q, k, v, *, window_size: int, mask=None, attn_bias=None,
     nw = nt // w
     scale = scale if scale is not None else d ** -0.5
 
-    qw = q.reshape(b, h, nw, w, d).astype(jnp.float32) * scale
+    qw = q.reshape(b, h, nw, w, d) * jnp.asarray(scale, q.dtype)
     kw = k.reshape(b, h, nw, w, d)
     vw = v.reshape(b, h, nw, w, d)
     # keys/values for window i: windows [i-1, i]
     k_prev = jnp.pad(kw, ((0, 0), (0, 0), (1, 0), (0, 0), (0, 0)))[:, :, :-1]
     v_prev = jnp.pad(vw, ((0, 0), (0, 0), (1, 0), (0, 0), (0, 0)))[:, :, :-1]
-    k2 = jnp.concatenate([k_prev, kw], axis=3).astype(jnp.float32)  # (B,H,nw,2w,D)
-    v2 = jnp.concatenate([v_prev, vw], axis=3).astype(jnp.float32)
+    k2 = jnp.concatenate([k_prev, kw], axis=3)  # (B,H,nw,2w,D)
+    v2 = jnp.concatenate([v_prev, vw], axis=3)
 
-    sim = jnp.einsum("bhgqd,bhgkd->bhgqk", qw, k2)  # (B,H,nw,w,2w)
+    # input-dtype matmul, fp32 accumulation/softmax (see attend())
+    sim = jnp.einsum("bhgqd,bhgkd->bhgqk", qw, k2,
+                     preferred_element_type=jnp.float32)  # (B,H,nw,w,2w)
     if attn_bias is not None:
         sim = sim + attn_bias[None, :, None].astype(sim.dtype)
 
@@ -138,8 +148,9 @@ def local_attention(q, k, v, *, window_size: int, mask=None, attn_bias=None,
     else:
         sim = jnp.where(allowed[None, None], sim, _NEG_INF)
 
-    attn = jax.nn.softmax(sim, axis=-1)
-    out = jnp.einsum("bhgqk,bhgkd->bhgqd", attn, v2)
+    attn = jax.nn.softmax(sim, axis=-1).astype(v2.dtype)
+    out = jnp.einsum("bhgqk,bhgkd->bhgqd", attn, v2,
+                     preferred_element_type=jnp.float32)
     out = out.reshape(b, h, nt, d).astype(q.dtype)
     return out[:, :, :n]
 
