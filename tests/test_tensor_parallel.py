@@ -79,3 +79,22 @@ def test_tp_train_step_matches_replicated():
     assert any(not s.is_fully_replicated
                for x in flat if hasattr(x, "sharding")
                for s in [x.sharding])
+
+
+def test_tp_sharded_generation_matches_replicated():
+    """Serving-side TP: the whole wrapper pytree is sharded over the model
+    axis and the jitted while-loop sampler runs under GSPMD (collectives
+    inside every decode step). Output token ids must equal the replicated
+    sampler's (same PRNG key)."""
+    devices = jax.devices()
+    assert len(devices) == 8
+    mesh = Mesh(np.array(devices).reshape(1, 8), ("data", "model"))
+
+    w = _make_wrapper()
+    ids_ref = w.generate(max_length=8, batch_size=2, key=KEY)
+
+    w_tp = apply_tp_sharding(w, mesh)
+    with mesh:
+        ids_tp = w_tp.generate(max_length=8, batch_size=2, key=KEY)
+    assert ids_tp.shape == ids_ref.shape
+    np.testing.assert_array_equal(np.asarray(ids_tp), np.asarray(ids_ref))
