@@ -407,3 +407,50 @@ def test_grad_shrink_parity(ref_alm):
     ref = t2n(ref_alm.grad_shrink(torch.from_numpy(x), alpha=0.1))
     got = np.asarray(grad_shrink(jnp.asarray(x), 0.1))
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_encoder_block_parity(ref_ss):
+    """3 dilated ResidualUnits (conv-k7 -> ELU -> conv-1x1 -> ELU, residual)
+    + strided downsample conv (reference soundstream.py:362-380)."""
+    from audiolm_pytorch_tpu.models.soundstream import EncoderBlock
+    rb = ref_ss.EncoderBlock(4, 8, stride=2).eval()
+    ours = EncoderBlock(4, 8, stride=2, key=KEY)
+    mapping = {}
+    for i in range(3):
+        seq = rb[i].fn  # Residual(Sequential(conv, ELU, conv1x1, ELU))
+        mapping[f"res{i+1}.conv1.weight"] = conv1d_w(seq[0].conv)
+        mapping[f"res{i+1}.conv1.bias"] = t2n(seq[0].conv.bias)
+        mapping[f"res{i+1}.conv2.weight"] = conv1d_w(seq[2].conv)
+        mapping[f"res{i+1}.conv2.bias"] = t2n(seq[2].conv.bias)
+    mapping["down.weight"] = conv1d_w(rb[3].conv)
+    mapping["down.bias"] = t2n(rb[3].conv.bias)
+    ours = set_params(ours, mapping)
+
+    x = np.random.default_rng(11).normal(size=(2, 4, 64)).astype(np.float32)
+    ref = t2n(rb(torch.from_numpy(x)))  # (B, C, T)
+    got = np.asarray(ours(jnp.asarray(x.transpose(0, 2, 1))))
+    np.testing.assert_allclose(got.transpose(0, 2, 1), ref, rtol=2e-4, atol=1e-5)
+
+
+def test_decoder_block_parity(ref_ss):
+    """Transposed upsample conv + 3 dilated ResidualUnits, odd stride
+    (reference soundstream.py:382-395)."""
+    from audiolm_pytorch_tpu.models.soundstream import DecoderBlock
+    rb = ref_ss.DecoderBlock(8, 4, stride=5).eval()
+    ours = DecoderBlock(8, 4, stride=5, key=KEY)
+    mapping = {
+        "up.weight": t2n(rb[0].conv.weight).transpose(2, 0, 1),
+        "up.bias": t2n(rb[0].conv.bias),
+    }
+    for i in range(3):
+        seq = rb[i + 1].fn
+        mapping[f"res{i+1}.conv1.weight"] = conv1d_w(seq[0].conv)
+        mapping[f"res{i+1}.conv1.bias"] = t2n(seq[0].conv.bias)
+        mapping[f"res{i+1}.conv2.weight"] = conv1d_w(seq[2].conv)
+        mapping[f"res{i+1}.conv2.bias"] = t2n(seq[2].conv.bias)
+    ours = set_params(ours, mapping)
+
+    x = np.random.default_rng(12).normal(size=(2, 8, 16)).astype(np.float32)
+    ref = t2n(rb(torch.from_numpy(x)))
+    got = np.asarray(ours(jnp.asarray(x.transpose(0, 2, 1))))
+    np.testing.assert_allclose(got.transpose(0, 2, 1), ref, rtol=2e-4, atol=1e-5)
