@@ -21,6 +21,7 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--bf16", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -56,7 +57,8 @@ def main():
         # gradient penalty destabilizes this short overfit run (NOTES.md);
         # disable it for the quality smoke number
         apply_grad_penalty_every=10 ** 9,
-        results_folder=str(out / "results"), use_ema=False)
+        results_folder=str(out / "results"), use_ema=False,
+        bf16_compute=args.bf16)
 
     from audiolm_pytorch_tpu.utils.audio_io import load_audio
     ref, _ = load_audio(data / "sine_0.wav")

@@ -107,6 +107,7 @@ def main():
     ap.add_argument("--out", default="results_quality")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--no-gp", action="store_true", help="disable the gradient penalty (stability at demo scale; see NOTES)")
     args = ap.parse_args()
 
     import jax
@@ -132,7 +133,8 @@ def main():
     trainer = SoundStreamTrainer(
         ss, folder=str(data), batch_size=args.batch, grad_accum_every=1,
         data_max_length=args.max_length, num_train_steps=args.steps,
-        lr=args.lr, warmup_steps=50, apply_grad_penalty_every=4,
+        lr=args.lr, warmup_steps=50,
+        apply_grad_penalty_every=10 ** 9 if args.no_gp else 4,
         save_results_every=10 ** 9, save_model_every=1000,
         results_folder=str(out / "results"), use_ema=True,
         bf16_compute=not args.fp32, data_parallel=False, valid_frac=0.02)
