@@ -263,7 +263,10 @@ def _coarse_generate_jit(tr: CoarseTransformer, semantic_ids, prime_coarse,
     parts = [start_s, sem_tokens, start_c]
     if pc > 0:
         parts.append(tr.embed_coarse(prime_coarse))
-    tokens = jnp.concatenate(parts, axis=1).astype(jnp.float32)
+    # run the prefill in the model dtype (bf16 weights -> bf16 prefill),
+    # so the while_loop carry dtype matches the in-loop token embeds
+    tokens = jnp.concatenate(parts, axis=1).astype(
+        tr.coarse_start_token.dtype)
 
     out, cache = tr.transformer(_cfg_tile(tokens, use_cfg), context=te,
                                 context_mask=tm, attn_bias=bias,
@@ -505,7 +508,10 @@ def _fine_generate_jit(tr: FineTransformer, coarse_ids, prime_fine, text_embeds,
     parts = [start_c, tr.embed_coarse(coarse_safe), start_f]
     if pf > 0:
         parts.append(tr.embed_fine(prime_fine))
-    tokens = jnp.concatenate(parts, axis=1).astype(jnp.float32)
+    # run the prefill in the model dtype (bf16 weights -> bf16 prefill),
+    # so the while_loop carry dtype matches the in-loop token embeds
+    tokens = jnp.concatenate(parts, axis=1).astype(
+        tr.coarse_start_token.dtype)
 
     out, cache = tr.transformer(_cfg_tile(tokens, use_cfg), context=te,
                                 context_mask=tm, self_attn_mask=key_mask_t,

@@ -166,3 +166,26 @@ def test_lm_kv_cache_under_jit_raises_clear_error():
     # eager path still works (reference-parity convenience)
     logits, new_cache = st(ids=ids, kv_cache=cache, return_kv_cache=True)
     assert logits.shape[1] == ids.shape[1] + 1 - 2  # suffix after pos=2
+
+
+def test_generate_with_bf16_weights():
+    """Serving dtype: cast_floats(model, bf16) must generate end-to-end for
+    all three samplers (regression: the coarse/fine prefill used to hardcast
+    tokens to fp32, mismatching the bf16 while_loop carry)."""
+    from audiolm_pytorch_tpu.nn.module import cast_floats
+
+    st = cast_floats(make_semantic(), jnp.bfloat16)
+    sw = SemanticTransformerWrapper(transformer=st)
+    sem = sw.generate(max_length=6, batch_size=1, key=KEY)
+    assert sem.shape == (1, 6)
+
+    ct = cast_floats(make_coarse(), jnp.bfloat16)
+    cw = CoarseTransformerWrapper(transformer=ct)
+    co = cw.generate(semantic_token_ids=jnp.where(sem < 0, 0, sem),
+                     max_time_steps=3, key=KEY)
+    assert co.shape == (1, 3, 3)
+
+    ft = cast_floats(make_fine(), jnp.bfloat16)
+    fw = FineTransformerWrapper(transformer=ft)
+    fi = fw.generate(coarse_token_ids=jnp.where(co < 0, 0, co), key=KEY)
+    assert fi.shape == (1, 3, 5)
