@@ -566,9 +566,15 @@ def _make_vjp_fn(causal, scale, block_q, block_k, interpret, has_bias, has_kmask
 
 
 def flash_attention(q, k, v, *, bias=None, key_mask=None, causal: bool = False,
-                    scale: float | None = None, block_q: int = 128,
-                    block_k: int = 128, interpret: bool | None = None):
-    """Differentiable entry: pallas forward, math backward (custom VJP)."""
+                    scale: float | None = None, block_q: int = 512,
+                    block_k: int = 512, interpret: bool | None = None):
+    """Differentiable entry: pallas forward + fused pallas backward
+    (custom VJP; chunked XLA backward when a bias gradient is needed).
+
+    Default block 512: measured fwd+bwd at seq 2048 (b8 h8 d128, v5e-class
+    chip, fetch-timed) — block 128: 21.5 ms, 256: 10.5 ms, 512: 7.1 ms vs
+    math 102.7 ms and chunked 17.9 ms. Short sequences clamp the block to
+    the next power of two of the length, so small shapes are unaffected."""
     d = q.shape[-1]
     scale = scale if scale is not None else d ** -0.5
     if interpret is None:
@@ -580,8 +586,8 @@ def flash_attention(q, k, v, *, bias=None, key_mask=None, causal: bool = False,
 
 
 def _flash_forward(q, k, v, *, bias=None, key_mask=None, causal: bool = False,
-                   scale: float | None = None, block_q: int = 128,
-                   block_k: int = 128, interpret: bool | None = None,
+                   scale: float | None = None, block_q: int = 512,
+                   block_k: int = 512, interpret: bool | None = None,
                    return_lse: bool = False):
     """q: (B, H, N, D); k, v: (B, Hk, M, D), Hk in {1, H} (MQA broadcast).
     bias: (H, N, M) or (B, H, N, M) additive. key_mask: (B, M) bool, True=keep.

@@ -43,12 +43,15 @@ def bench_codec(out):
         codes = codec(x, return_codes_only=True)
         return codec.decode_from_codebook_indices(codes)
 
-    roundtrip(codec, x).block_until_ready()
+    y = roundtrip(codec, x)
+    float(jnp.sum(y))  # warm + drain (fetch-timed: the axon runtime's
+    # block_until_ready can return before dependent work completes)
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         y = roundtrip(codec, x)
-    y.block_until_ready()
+        x = x + 0.0 * y  # chain iterations so none can be elided
+    float(jnp.sum(y))
     rtf = batch * seconds * iters / (time.perf_counter() - t0)
     out["value"] = round(rtf, 2)
     out["vs_baseline"] = round(rtf / 50.0, 3)
@@ -84,14 +87,15 @@ def bench_lm_train(out):
 
     key = jax.random.PRNGKey(2)
     params, opt_state, loss = step(params, opt_state, ids, key)
-    jax.block_until_ready(params)
+    float(loss)  # warm + drain
     iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
         params, opt_state, loss = step(params, opt_state, ids, key)
-    # block on params: the FULL dependency chain (every forward, backward and
-    # optimizer update of all iters), not just the last forward's loss
-    jax.block_until_ready(params)
+    # fetch-timed on the FULL dependency chain: a param leaf of the final
+    # update plus the final loss (the axon runtime's block_until_ready can
+    # return before dependent work completes, so a host fetch is the fence)
+    float(jnp.sum(jax.tree_util.tree_leaves(params)[0])) + float(loss)
     dt = (time.perf_counter() - t0) / iters
     tokens = batch * seq
     tps = tokens / dt
@@ -147,11 +151,11 @@ def bench_gen_3stage(out):
                                key=k3)
         return sem, co, wave
 
-    sem, co, wave = jax.tree_util.tree_map(
-        lambda x: x.block_until_ready(), run(jax.random.PRNGKey(3)))
+    sem, co, wave = run(jax.random.PRNGKey(3))
+    float(jnp.sum(wave.astype(jnp.float32)))  # warm + drain (fetch-timed)
     t0 = time.perf_counter()
     sem, co, wave = run(jax.random.PRNGKey(4))
-    wave.block_until_ready()
+    float(jnp.sum(wave.astype(jnp.float32)))
     dt = time.perf_counter() - t0
     # honest RTF: only audio actually produced counts (EOS truncation -> -1s)
     valid_frames = float(jnp.sum(jnp.all(co != -1, axis=-1)))
