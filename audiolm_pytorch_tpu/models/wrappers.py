@@ -88,7 +88,12 @@ def _semantic_generate_jit(tr: SemanticTransformer, ids, text_embeds, text_mask,
     bias = tr.transformer.rel_pos_bias(total, total) \
         if tr.transformer.rel_pos_bias is not None else None
 
-    cache = KVCache.create(tr.transformer.depth, bb, total, tr.transformer.dim_head)
+    # bf16 serving: the KV cache follows the model dtype (halves the
+    # per-decode-step cache read/write traffic under cast_floats(bf16))
+    cache = KVCache.create(
+        tr.transformer.depth, bb, total, tr.transformer.dim_head,
+        dtype=(tr.start_token if hasattr(tr, 'start_token')
+               else tr.coarse_start_token).dtype)
 
     # ---- prefill: [start] + prompt embeds --------------------------------
     tokens = tr.embed_ids(ids)  # (B, P+1, D)
@@ -254,7 +259,12 @@ def _coarse_generate_jit(tr: CoarseTransformer, semantic_ids, prime_coarse,
         te = tr._proj_text(te)
 
     bias = tr.build_attn_bias(s, total)
-    cache = KVCache.create(tr.transformer.depth, bb, total, tr.transformer.dim_head)
+    # bf16 serving: the KV cache follows the model dtype (halves the
+    # per-decode-step cache read/write traffic under cast_floats(bf16))
+    cache = KVCache.create(
+        tr.transformer.depth, bb, total, tr.transformer.dim_head,
+        dtype=(tr.start_token if hasattr(tr, 'start_token')
+               else tr.coarse_start_token).dtype)
 
     # prefill: [sem_start, sem, coarse_start, prime_coarse]
     sem_tokens = get_embeds(tr.semantic_embedding, semantic_ids)
@@ -493,7 +503,12 @@ def _fine_generate_jit(tr: FineTransformer, coarse_ids, prime_fine, text_embeds,
         te = tr._proj_text(te)
 
     bias = tr.build_attn_bias(nc, n_fine_total)
-    cache = KVCache.create(tr.transformer.depth, bb, total, tr.transformer.dim_head)
+    # bf16 serving: the KV cache follows the model dtype (halves the
+    # per-decode-step cache read/write traffic under cast_floats(bf16))
+    cache = KVCache.create(
+        tr.transformer.depth, bb, total, tr.transformer.dim_head,
+        dtype=(tr.start_token if hasattr(tr, 'start_token')
+               else tr.coarse_start_token).dtype)
 
     # coarse pad/EOS masked out of attention (reference: audiolm_pytorch.py:1173-1184)
     coarse_ok = (coarse_ids != tr.pad_id) & (coarse_ids != tr.eos_id)
