@@ -454,3 +454,73 @@ def test_decoder_block_parity(ref_ss):
     ref = t2n(rb(torch.from_numpy(x)))
     got = np.asarray(ours(jnp.asarray(x.transpose(0, 2, 1))))
     np.testing.assert_allclose(got.transpose(0, 2, 1), ref, rtol=2e-4, atol=1e-5)
+
+
+def _port_resunits(mapping, prefix, torch_blocks, n=3):
+    for i in range(n):
+        seq = torch_blocks[i].fn
+        mapping[f"{prefix}.res{i+1}.conv1.weight"] = conv1d_w(seq[0].conv)
+        mapping[f"{prefix}.res{i+1}.conv1.bias"] = t2n(seq[0].conv.bias)
+        mapping[f"{prefix}.res{i+1}.conv2.weight"] = conv1d_w(seq[2].conv)
+        mapping[f"{prefix}.res{i+1}.conv2.bias"] = t2n(seq[2].conv.bias)
+
+
+def test_full_codec_encoder_decoder_parity(ref_ss):
+    """Whole encoder and decoder stacks of the assembled reference SoundStream
+    (init conv + every block + final conv, multi-stride incl. odd stride 5)
+    vs ours with ported weights (reference soundstream.py:519-531, 615-627).
+    The reference model instantiates with the VQ/attention stubs; its
+    `encoder`/`decoder` Sequentials are pure torch."""
+    from audiolm_pytorch_tpu.models.soundstream import SoundStream
+
+    rs = ref_ss.SoundStream(
+        channels=4, strides=(2, 5), channel_mults=(2, 4), codebook_dim=8,
+        codebook_size=16, rq_num_quantizers=2, use_local_attn=False).eval()
+    ours = SoundStream(
+        channels=4, strides=(2, 5), channel_mults=(2, 4), codebook_dim=8,
+        codebook_size=16, rq_num_quantizers=2, use_local_attn=False,
+        key=KEY)
+
+    mapping = {
+        "encoder_init.weight": conv1d_w(rs.encoder[0].conv),
+        "encoder_init.bias": t2n(rs.encoder[0].conv.bias),
+        "encoder_final.weight": conv1d_w(rs.encoder[3].conv),
+        "encoder_final.bias": t2n(rs.encoder[3].conv.bias),
+        "decoder_init.weight": conv1d_w(rs.decoder[0].conv),
+        "decoder_init.bias": t2n(rs.decoder[0].conv.bias),
+        "decoder_final.weight": conv1d_w(rs.decoder[3].conv),
+        "decoder_final.bias": t2n(rs.decoder[3].conv.bias),
+    }
+    for bi in range(2):
+        eb = rs.encoder[1 + bi]
+        _port_resunits(mapping, f"encoder_blocks[{bi}]", eb)
+        mapping[f"encoder_blocks[{bi}].down.weight"] = conv1d_w(eb[3].conv)
+        mapping[f"encoder_blocks[{bi}].down.bias"] = t2n(eb[3].conv.bias)
+        db = rs.decoder[1 + bi]
+        mapping[f"decoder_blocks[{bi}].up.weight"] = \
+            t2n(db[0].conv.weight).transpose(2, 0, 1)
+        mapping[f"decoder_blocks[{bi}].up.bias"] = t2n(db[0].conv.bias)
+        _port_resunits(mapping, f"decoder_blocks[{bi}]",
+                       [db[1], db[2], db[3]])
+    ours = set_params(ours, mapping)
+
+    x = np.random.default_rng(13).normal(size=(2, 1, 400)).astype(np.float32)
+    with torch.no_grad():
+        enc_ref = rs.encoder(torch.from_numpy(x))          # (B, cb_dim, T')
+    # our encode path is channels-last (B, T) -> (B, T', cb_dim)
+    h = ours.encoder_init(jnp.asarray(x[:, 0])[..., None])
+    for blk in ours.encoder_blocks:
+        h = blk(h)
+    h = ours.encoder_final(h)
+    np.testing.assert_allclose(np.asarray(h).transpose(0, 2, 1), t2n(enc_ref),
+                               rtol=3e-4, atol=3e-5)
+
+    z = np.random.default_rng(14).normal(size=(2, 8, 64)).astype(np.float32)
+    with torch.no_grad():
+        dec_ref = rs.decoder(torch.from_numpy(z))          # (B, 1, T)
+    g = ours.decoder_init(jnp.asarray(z.transpose(0, 2, 1)))
+    for blk in ours.decoder_blocks:
+        g = blk(g)
+    g = ours.decoder_final(g)
+    np.testing.assert_allclose(np.asarray(g).transpose(0, 2, 1), t2n(dec_ref),
+                               rtol=3e-4, atol=3e-5)
