@@ -613,8 +613,9 @@ class FineTransformer(Module):
             return_kv_cache=True)
 
         full = out
-        if kv_cache is not None and _concrete_cache_pos(kv_cache):
-            pad = jnp.zeros((b, _concrete_cache_pos(kv_cache), out.shape[-1]), out.dtype)
+        pos = _concrete_cache_pos(kv_cache) if kv_cache is not None else 0
+        if pos:
+            pad = jnp.zeros((b, pos, out.shape[-1]), out.dtype)
             full = jnp.concatenate([pad, out], axis=1)
 
         pred_coarse = full[:, :n_coarse]

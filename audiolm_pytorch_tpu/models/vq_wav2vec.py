@@ -25,6 +25,7 @@ released encoder downsamples by 160. We compute it from the conv strides.
 """
 from __future__ import annotations
 
+import ast
 import math
 from typing import Optional, Sequence, Tuple
 
@@ -187,7 +188,8 @@ class FairseqVQWav2Vec(Module):
         if args is not None:
             get = lambda n, d: getattr(args, n, d)
             spec = get("conv_feature_layers", None)
-            spec = eval(spec) if isinstance(spec, str) else (spec or _VQW2V_ENC_SPEC)
+            spec = ast.literal_eval(spec) if isinstance(spec, str) \
+                else (spec or _VQW2V_ENC_SPEC)
             emb = sd.get("vector_quantizer.embedding")
             num_vars = emb.shape[0] if emb is not None else int(get("vq_vars", 320))
             groups = int(get("vq_groups", 2))

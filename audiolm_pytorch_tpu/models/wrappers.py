@@ -90,10 +90,9 @@ def _semantic_generate_jit(tr: SemanticTransformer, ids, text_embeds, text_mask,
 
     # bf16 serving: the KV cache follows the model dtype (halves the
     # per-decode-step cache read/write traffic under cast_floats(bf16))
-    cache = KVCache.create(
-        tr.transformer.depth, bb, total, tr.transformer.dim_head,
-        dtype=(tr.start_token if hasattr(tr, 'start_token')
-               else tr.coarse_start_token).dtype)
+    cache = KVCache.create(tr.transformer.depth, bb, total,
+                           tr.transformer.dim_head,
+                           dtype=tr.start_token.dtype)
 
     # ---- prefill: [start] + prompt embeds --------------------------------
     tokens = tr.embed_ids(ids)  # (B, P+1, D)
@@ -259,12 +258,10 @@ def _coarse_generate_jit(tr: CoarseTransformer, semantic_ids, prime_coarse,
         te = tr._proj_text(te)
 
     bias = tr.build_attn_bias(s, total)
-    # bf16 serving: the KV cache follows the model dtype (halves the
-    # per-decode-step cache read/write traffic under cast_floats(bf16))
-    cache = KVCache.create(
-        tr.transformer.depth, bb, total, tr.transformer.dim_head,
-        dtype=(tr.start_token if hasattr(tr, 'start_token')
-               else tr.coarse_start_token).dtype)
+    # bf16 serving: the KV cache follows the model dtype (see semantic sampler)
+    cache = KVCache.create(tr.transformer.depth, bb, total,
+                           tr.transformer.dim_head,
+                           dtype=tr.coarse_start_token.dtype)
 
     # prefill: [sem_start, sem, coarse_start, prime_coarse]
     sem_tokens = get_embeds(tr.semantic_embedding, semantic_ids)
@@ -297,7 +294,7 @@ def _coarse_generate_jit(tr: CoarseTransformer, semantic_ids, prime_coarse,
         # early exit once every row has emitted coarse-EOS (reference stops
         # per-batch at audiolm_pytorch.py:1504-1505; we stop when ALL rows
         # are done — the jitted loop is batched)
-        all_done = jnp.all(jnp.any(coarse_buf == tr.coarse_eos_id, axis=-1))
+        all_done = all_rows_have_eos_id(coarse_buf, tr.coarse_eos_id)
         return (i < n_coarse_total) & ~all_done
 
     def body_fn(state):
@@ -503,12 +500,10 @@ def _fine_generate_jit(tr: FineTransformer, coarse_ids, prime_fine, text_embeds,
         te = tr._proj_text(te)
 
     bias = tr.build_attn_bias(nc, n_fine_total)
-    # bf16 serving: the KV cache follows the model dtype (halves the
-    # per-decode-step cache read/write traffic under cast_floats(bf16))
-    cache = KVCache.create(
-        tr.transformer.depth, bb, total, tr.transformer.dim_head,
-        dtype=(tr.start_token if hasattr(tr, 'start_token')
-               else tr.coarse_start_token).dtype)
+    # bf16 serving: the KV cache follows the model dtype (see semantic sampler)
+    cache = KVCache.create(tr.transformer.depth, bb, total,
+                           tr.transformer.dim_head,
+                           dtype=tr.coarse_start_token.dtype)
 
     # coarse pad/EOS masked out of attention (reference: audiolm_pytorch.py:1173-1184)
     coarse_ok = (coarse_ids != tr.pad_id) & (coarse_ids != tr.eos_id)
@@ -544,9 +539,11 @@ def _fine_generate_jit(tr: FineTransformer, coarse_ids, prime_fine, text_embeds,
     offsets_table = qpos_table * tr.codebook_size
 
     def cond_fn(state):
+        # no early exit: fine logit heads have codebook_size classes only —
+        # there is no fine-EOS token to emit (reference runs the full loop
+        # too, audiolm_pytorch.py:1955-1956)
         i, fine_buf, cache, last_out, key = state
-        all_done = jnp.all(jnp.any(fine_buf == tr.eos_id, axis=-1))
-        return (i < n_fine_total) & ~all_done
+        return i < n_fine_total
 
     def body_fn(state):
         i, fine_buf, cache, last_out, key = state

@@ -39,7 +39,7 @@ def decode_lookback_frames(codec: SoundStream) -> int:
     lookback; returns -1 in that case (caller must fall back to full-prefix
     decode).
     """
-    need = 6  # decoder_final k=7 at sample rate
+    need = codec.decoder_final.weight.shape[0] - 1  # final conv, sample rate
     for block in reversed(codec.decoder_blocks):
         if not isinstance(block, DecoderBlock):
             return -1  # GateLoop: unbounded
@@ -52,7 +52,7 @@ def decode_lookback_frames(codec: SoundStream) -> int:
         k = block.up.weight.shape[0]
         s = block.up.stride
         need = math.ceil((need + k - 1) / s)
-    need += 6  # decoder_init k=7 at frame rate
+    need += codec.decoder_init.weight.shape[0] - 1  # init conv, frame rate
     if codec.decoder_attn is not None:
         need += 2 * codec.decoder_attn.window_size * len(codec.decoder_attn.layers)
     return int(need)
@@ -88,14 +88,16 @@ class StreamingCodecDecoder:
         self.context = int(math.ceil(lb / align) * align)
         self.align = align
         self.chunk = chunk_frames
-        self._codes = None   # accumulated (G, B, N, Q) numpy
+        self._codes = None   # buffered (G, B, n, Q) numpy (recent frames only)
+        self._base = 0       # absolute frame index of self._codes[:, :, 0]
         self._emitted = 0    # frames already emitted
         self._decode = jax.jit(
             lambda codec, idx: codec.decode_from_codebook_indices(idx))
 
     @property
     def buffered_frames(self) -> int:
-        return 0 if self._codes is None else self._codes.shape[2]
+        """Total frames pushed so far (absolute count)."""
+        return self._base + (0 if self._codes is None else self._codes.shape[2])
 
     def _append(self, codes):
         codes = np.asarray(codes)
@@ -114,11 +116,20 @@ class StreamingCodecDecoder:
             return np.zeros((b, 0), np.float32)
         start = max(0, self._emitted - self.context)
         start = (start // self.align) * self.align  # window-bucket alignment
-        window = jnp.asarray(self._codes[:, :, start:upto])
+        window = jnp.asarray(self._codes[:, :, start - self._base:
+                                         upto - self._base])
         wave = np.asarray(self._decode(self.codec, window))
         out = wave[:, (self._emitted - start) * self.ds:
                    (upto - start) * self.ds]
         self._emitted = upto
+        # drop frames older than any future decode window can reach, so a
+        # long-running stream holds O(context + chunk) frames, not the whole
+        # history
+        keep_from = (max(0, self._emitted - self.context)
+                     // self.align) * self.align
+        if keep_from > self._base and self._codes is not None:
+            self._codes = self._codes[:, :, keep_from - self._base:]
+            self._base = keep_from
         return out
 
     def push(self, codes) -> np.ndarray:
