@@ -63,3 +63,23 @@ def test_streaming_flat_layout_and_empty_push():
     assert out.shape[-1] == 0  # nothing ready yet
     tail = dec.flush()
     np.testing.assert_array_equal(tail, full)
+
+
+def test_streaming_buffer_is_bounded():
+    """Long-running stream: internal buffer must hold O(context + chunk)
+    frames, not the whole history (regression: _append grew unboundedly)."""
+    codec = tiny_soundstream(attn_window_size=None, use_local_attn=False)
+    codes = np.asarray(_codes_for(codec, 200))
+    full = np.asarray(codec.decode_from_codebook_indices(jnp.asarray(codes)))
+
+    dec = StreamingCodecDecoder(codec, chunk_frames=8)
+    outs = []
+    for i in range(0, codes.shape[2], 5):
+        outs.append(dec.push(codes[:, :, i:i + 5]))
+    # buffered window never exceeds context + chunk + push-bite + alignment
+    held = dec._codes.shape[2]
+    assert held <= dec.context + dec.chunk + 5 + dec.align, held
+    assert dec.buffered_frames == codes.shape[2]  # absolute count preserved
+    outs.append(dec.flush())
+    stream = np.concatenate(outs, axis=-1)
+    np.testing.assert_array_equal(stream, full)  # trimming is still bit-exact
