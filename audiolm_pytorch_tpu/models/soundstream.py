@@ -467,15 +467,23 @@ class SoundStream(Module):
             self.codebook_size = self.rq.codebook_size
         else:
             assert exists(codebook_size) and not exists(finite_scalar_quantizer_levels)
+            # defaults match the reference's hardcoded rq kwargs
+            # (soundstream.py:592-607); rq_kwargs overrides them — e.g.
+            # threshold_ema_dead_code should drop well below 1.0 when
+            # batch·frames < codebook_size, or the EMA cluster sizes sit
+            # below the threshold in steady state and the expiry re-seeds
+            # most of the codebook every step (codebook collapse)
+            rq_kw = dict(kmeans_init=True, threshold_ema_dead_code=2.0,
+                         quantize_dropout=True)
+            rq_kw.update(rq_kwargs or {})
             self.rq = GroupedResidualVQ(
                 dim=codebook_dim, groups=rq_groups, num_quantizers=rq_num_quantizers,
                 codebook_size=codebook_size, decay=rq_ema_decay,
                 commitment_weight=rq_commitment_weight,
                 quantize_dropout_multiple_of=rq_quantize_dropout_multiple_of,
-                kmeans_init=True, threshold_ema_dead_code=2.0, quantize_dropout=True,
                 quantize_dropout_cutoff_index=quantize_dropout_cutoff_index,
                 stochastic_sample_codes=rq_stochastic_sample_codes,
-                rotation_trick=rq_rotation_trick, key=keys[3], **rq_kwargs)
+                rotation_trick=rq_rotation_trick, key=keys[3], **rq_kw)
             self.codebook_size = codebook_size
 
         self.decoder_film = FiLM(codebook_dim, 2, key=keys[4])
@@ -780,6 +788,11 @@ class SoundStream(Module):
         from ..training.checkpoint import load_checkpoint
         pkg = load_checkpoint(path)
         config = pkg["config"]
+        if not config:
+            raise ValueError(
+                f"{path} has no constructor config (it is a trainer/EMA "
+                "checkpoint, not a SoundStream.save artifact) — build the "
+                "model with its original kwargs and call .load(path) instead")
         model = cls(**config, key=jax.random.PRNGKey(0))
         return pkg["restore"](model)
 

@@ -146,6 +146,12 @@ def main():
         # rebalances toward reconstruction; reference weights remain the
         # defaults (soundstream.py:379-382).
         recon_loss_weight=10.0, feature_loss_weight=10.0,
+        # batch*frames (400/step) < codebook_size (1024): the reference's
+        # threshold_ema_dead_code=2.0 then re-seeds most codes every step
+        # (measured: 12 unique codes across 8 quantizers after 4k steps,
+        # decoder collapsed to silence). 0.25 keeps once-in-a-while-used
+        # codes alive (see quantize.py expiry note).
+        rq_kwargs=dict(threshold_ema_dead_code=0.25),
         key=jax.random.PRNGKey(0))
     trainer = SoundStreamTrainer(
         ss, folder=str(data), batch_size=args.batch, grad_accum_every=1,
