@@ -219,3 +219,31 @@ def test_vq_encode_fp32_invariant_to_input_dtype():
     idx16 = vq.encode(x)
     idx32 = vq.encode(x.astype(jnp.float32))
     np.testing.assert_array_equal(np.asarray(idx16), np.asarray(idx32))
+
+
+def test_dead_code_expiry_small_batch_dynamics():
+    """When a step supplies fewer vectors than codebook entries, a high
+    expiry threshold re-seeds most codes every step (collapse); a threshold
+    below the achievable steady-state EMA usage keeps far more codes alive
+    (root cause of the at-scale codec silence collapse, round 2)."""
+    def run(threshold, steps=100):
+        vq = VectorQuantizeEMA(8, 1024, threshold_ema_dead_code=threshold,
+                               key=jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(1)
+        centers = jax.random.normal(jax.random.PRNGKey(42), (64, 8))
+
+        @jax.jit
+        def step(vq, key):
+            k1, k2, key = jax.random.split(key, 3)
+            x = centers[jax.random.randint(k1, (400,), 0, 64)] \
+                + 0.05 * jax.random.normal(k2, (400, 8))
+            _, idx, _, vq = vq(x, key=key, train=True)
+            return vq, idx, key
+
+        for _ in range(steps):
+            vq, idx, key = step(vq, key)
+        return len(np.unique(np.asarray(idx)))
+
+    uniq_lo = run(0.25)
+    uniq_hi = run(2.0)
+    assert uniq_lo > uniq_hi * 1.5, (uniq_lo, uniq_hi)

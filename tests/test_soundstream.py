@@ -151,3 +151,14 @@ def test_presets():
                             key=jax.random.PRNGKey(0))
     assert ss.seq_len_multiple_of == 320
     assert ss.num_quantizers == 12
+
+
+def test_rq_kwargs_override_dead_code_threshold():
+    """SoundStream's hardcoded rq defaults must be overridable through
+    rq_kwargs (needed when batch*frames < codebook_size — see the expiry
+    note at the rq construction site)."""
+    ss = tiny_soundstream(rq_kwargs=dict(threshold_ema_dead_code=0.25))
+    layers = ss.rq.rvqs[0].layers if hasattr(ss.rq, "rvqs") else ss.rq.layers
+    assert layers[0].threshold_ema_dead_code == 0.25
+    # and the config self-persists the override
+    assert dict(ss.configs)["rq_kwargs"]["threshold_ema_dead_code"] == 0.25
