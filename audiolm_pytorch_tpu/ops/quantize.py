@@ -100,8 +100,16 @@ def _rotate_to(x, q):
     w = jax.lax.stop_gradient(l2norm(u + qh))
     rotated = x - 2.0 * jnp.sum(x * w, -1, keepdims=True) * w \
         + 2.0 * jnp.sum(x * u, -1, keepdims=True) * qh
-    scale = jax.lax.stop_gradient(nq / jnp.maximum(nx, eps))
-    return rotated * scale
+    # the backward Jacobian is scale * R: for a fitted codebook scale ~ 1, but
+    # on near-zero residuals (late RVQ layers, or codes far from their
+    # vectors early in training) ||q||/||x|| explodes — measured 3e4x encoder
+    # vs decoder grad norms, which collapsed every at-scale codec run (round
+    # 2). Clamp the rescale on the GRADIENT path only; the forward value is
+    # restored to exactly q via a stop-gradient correction.
+    scale = jax.lax.stop_gradient(
+        jnp.clip(nq / jnp.maximum(nx, eps), 0.25, 4.0))
+    st = rotated * scale
+    return jax.lax.stop_gradient(q - st) + st
 
 
 # ---------------------------------------------------------------------------

@@ -109,6 +109,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--no-gp", action="store_true", help="disable the gradient penalty (stability at demo scale; see NOTES)")
+    ap.add_argument("--adv-weight", type=float, default=1.0)
+    ap.add_argument("--feat-weight", type=float, default=10.0)
+    ap.add_argument("--recon-weight", type=float, default=10.0)
     args = ap.parse_args()
 
     import jax
@@ -145,7 +148,9 @@ def main():
         # SI-SNR never leaves the near-silent regime in <10k steps. The demo
         # rebalances toward reconstruction; reference weights remain the
         # defaults (soundstream.py:379-382).
-        recon_loss_weight=10.0, feature_loss_weight=10.0,
+        recon_loss_weight=args.recon_weight,
+        adversarial_loss_weight=args.adv_weight,
+        feature_loss_weight=args.feat_weight,
         # batch*frames (400/step) < codebook_size (1024): the reference's
         # threshold_ema_dead_code=2.0 then re-seeds most codes every step
         # (measured: 12 unique codes across 8 quantizers after 4k steps,

@@ -247,3 +247,41 @@ def test_dead_code_expiry_small_batch_dynamics():
     uniq_lo = run(0.25)
     uniq_hi = run(2.0)
     assert uniq_lo > uniq_hi * 1.5, (uniq_lo, uniq_hi)
+
+
+def test_rotation_trick_gradient_scale_bounded():
+    """Regression (round 2): the rotation-trick backward is scale*R with
+    scale = ||q||/||x|| — unbounded on near-zero residuals, which exploded
+    encoder grads 3e4x over decoder grads and collapsed every at-scale codec
+    run. The clamped-gradient form must keep encoder/decoder grads within a
+    sane ratio while the forward still returns exactly the quantized value."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_soundstream import tiny_soundstream
+    from audiolm_pytorch_tpu.nn.module import combine, partition_trainable
+
+    ss = tiny_soundstream()  # rotation_trick=True default
+    params, rest = partition_trainable(ss)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (2, 2000))
+
+    def loss_fn(p):
+        m = combine(p, rest)
+        _, bd, _ = m(x, key=jax.random.PRNGKey(2), train=True,
+                     return_loss_breakdown=True)
+        return bd[0]  # recon term only
+
+    grads = jax.grad(loss_fn)(params)
+    from jax import tree_util
+    norms = {tree_util.keystr(p): float(jnp.linalg.norm(g))
+             for p, g in tree_util.tree_flatten_with_path(grads)[0]}
+    enc = norms[".encoder_final.weight"]
+    dec = norms[".decoder_final.weight"]
+    assert enc < 100 * dec, (enc, dec)
+
+    # forward exactness: rotation output equals the quantized vector
+    from audiolm_pytorch_tpu.ops.quantize import _rotate_to
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    xs = 0.01 * jax.random.normal(k1, (32, 8))   # tiny norms -> clamped rows
+    qs = jax.random.normal(k2, (32, 8))
+    np.testing.assert_allclose(np.asarray(_rotate_to(xs, qs)), np.asarray(qs),
+                               rtol=1e-5, atol=1e-5)
