@@ -112,6 +112,7 @@ def main():
     ap.add_argument("--adv-weight", type=float, default=1.0)
     ap.add_argument("--feat-weight", type=float, default=10.0)
     ap.add_argument("--recon-weight", type=float, default=10.0)
+    ap.add_argument("--no-rotation", action="store_true", help="plain STE instead of the rotation trick (see NOTES: with degenerate early codes the per-vector rotation scrambles the recon gradient direction and the commit loss collapses the encoder)")
     args = ap.parse_args()
 
     import jax
@@ -157,6 +158,7 @@ def main():
         # decoder collapsed to silence). 0.25 keeps once-in-a-while-used
         # codes alive (see quantize.py expiry note).
         rq_kwargs=dict(threshold_ema_dead_code=0.25),
+        rq_rotation_trick=not args.no_rotation,
         key=jax.random.PRNGKey(0))
     trainer = SoundStreamTrainer(
         ss, folder=str(data), batch_size=args.batch, grad_accum_every=1,
