@@ -112,6 +112,7 @@ def main():
     ap.add_argument("--adv-weight", type=float, default=1.0)
     ap.add_argument("--feat-weight", type=float, default=10.0)
     ap.add_argument("--recon-weight", type=float, default=10.0)
+    ap.add_argument("--commit-weight", type=float, default=1.0, help="rq commitment weight (0 disables the encoder-collapsing pull during cold start - see NOTES silence-equilibrium item)")
     ap.add_argument("--no-rotation", action="store_true", help="plain STE instead of the rotation trick (see NOTES: with degenerate early codes the per-vector rotation scrambles the recon gradient direction and the commit loss collapses the encoder)")
     args = ap.parse_args()
 
@@ -159,6 +160,7 @@ def main():
         # codes alive (see quantize.py expiry note).
         rq_kwargs=dict(threshold_ema_dead_code=0.25),
         rq_rotation_trick=not args.no_rotation,
+        rq_commitment_weight=args.commit_weight,
         key=jax.random.PRNGKey(0))
     trainer = SoundStreamTrainer(
         ss, folder=str(data), batch_size=args.batch, grad_accum_every=1,
