@@ -117,7 +117,7 @@ class SemanticTransformer(Module):
                  has_condition: bool = False, audio_text_condition: bool = False,
                  cond_as_self_attn_prefix: bool = False, cond_drop_prob: float = 0.5,
                  grad_shrink_alpha: float = 0.1, rel_pos_bias: bool = True,
-                 flash_attn: bool = False, key: jax.Array, **kwargs):
+                 flash_attn: "bool | str" = "auto", key: jax.Array, **kwargs):
         cfg = {k: v for k, v in locals().items() if k not in ("self", "key", "kwargs", "__class__")}
         cfg.update(kwargs)
         self.configs = tuple(sorted(cfg.items()))
@@ -241,7 +241,7 @@ class CoarseTransformer(Module):
                  cond_dim: Optional[int] = None, audio_text_condition: bool = False,
                  cond_as_self_attn_prefix: bool = False, cond_drop_prob: float = 0.5,
                  grad_shrink_alpha: float = 0.1, project_semantic_logits: bool = True,
-                 rel_pos_bias: bool = True, flash_attn: bool = False,
+                 rel_pos_bias: bool = True, flash_attn: "bool | str" = "auto",
                  key: jax.Array, **kwargs):
         cfg = {k: v for k, v in locals().items() if k not in ("self", "key", "kwargs", "__class__")}
         cfg.update(kwargs)
@@ -431,7 +431,7 @@ class FineTransformer(Module):
                  cond_dim: Optional[int] = None, audio_text_condition: bool = False,
                  cond_as_self_attn_prefix: bool = False, cond_drop_prob: float = 0.5,
                  grad_shrink_alpha: float = 0.1, project_coarse_logits: bool = True,
-                 pad_id: int = -1, rel_pos_bias: bool = True, flash_attn: bool = False,
+                 pad_id: int = -1, rel_pos_bias: bool = True, flash_attn: "bool | str" = "auto",
                  key: jax.Array, **kwargs):
         cfg = {k: v for k, v in locals().items() if k not in ("self", "key", "kwargs", "__class__")}
         cfg.update(kwargs)

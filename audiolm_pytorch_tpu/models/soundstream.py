@@ -688,16 +688,23 @@ class SoundStream(Module):
         multi_spectral_recon_loss = self._multi_mel_loss(target, recon32) \
             if self.multi_spectral_recon_loss_weight > 0 else jnp.asarray(0.0)
 
-        logits, fake_feats = self._discr_logits_and_feats(recon_x)
-        _, real_feats = self._discr_logits_and_feats(jax.lax.stop_gradient(orig_x))
-        adversarial_loss = jnp.mean(jnp.stack(
-            [hinge_gen_loss(l.astype(jnp.float32)) for l in logits]))
-        feat_losses = []
-        for rf, ff in zip(real_feats, fake_feats):
-            feat_losses.extend([jnp.mean(jnp.abs(r.astype(jnp.float32)
-                                                 - f.astype(jnp.float32)))
-                                for r, f in zip(rf, ff)])
-        feature_loss = jnp.mean(jnp.stack(feat_losses))
+        if self.adversarial_loss_weight == 0 and self.feature_loss_weight == 0:
+            # pure-reconstruction phase: skip the discriminator forwards
+            # entirely (they would otherwise still be traced/compiled because
+            # the loss breakdown returns their values as metrics)
+            adversarial_loss = jnp.asarray(0.0)
+            feature_loss = jnp.asarray(0.0)
+        else:
+            logits, fake_feats = self._discr_logits_and_feats(recon_x)
+            _, real_feats = self._discr_logits_and_feats(jax.lax.stop_gradient(orig_x))
+            adversarial_loss = jnp.mean(jnp.stack(
+                [hinge_gen_loss(l.astype(jnp.float32)) for l in logits]))
+            feat_losses = []
+            for rf, ff in zip(real_feats, fake_feats):
+                feat_losses.extend([jnp.mean(jnp.abs(r.astype(jnp.float32)
+                                                     - f.astype(jnp.float32)))
+                                    for r, f in zip(rf, ff)])
+            feature_loss = jnp.mean(jnp.stack(feat_losses))
 
         all_commit = jnp.sum(commit_loss)
         total = (recon_loss * self.recon_loss_weight

@@ -37,6 +37,9 @@ from ..ops.sampling import grad_shrink
 __all__ = ["RelativePositionBias", "Attention", "Transformer", "KVCache"]
 
 
+_FLASH_AUTO_MIN_SEQ = 256  # crossover vs the math path, measured on v5e (BASELINE.md)
+
+
 def maybe_dropout(x, rate: float, key):
     if rate <= 0.0 or key is None:
         return x
@@ -98,7 +101,8 @@ class Attention(Module):
     def __init__(self, dim: int, *, causal: bool = False, dim_head: int = 64,
                  dim_context: Optional[int] = None, heads: int = 8,
                  norm_context: bool = False, num_null_kv: int = 0,
-                 dropout: float = 0.0, flash: bool = False, key: jax.Array):
+                 dropout: float = 0.0, flash: "bool | str" = "auto",
+                 key: jax.Array):
         inner = dim_head * heads
         dim_context = default(dim_context, dim)
         k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -205,14 +209,23 @@ class Attention(Module):
             if exists(attn_bias):
                 attn_bias = jnp.pad(attn_bias, ((0, 0), (0, 0), (self.num_null_kv, 0)))
 
-        if cache_kv is None and self.flash:
+        flash = self.flash
+        if flash == "auto":
+            # flash wins from moderate sequence lengths on TPU (see
+            # BASELINE.md flash rows); tiny shapes and CPU take the math path
+            from ..ops.pallas import on_tpu
+            flash = on_tpu() and min(n, k.shape[1]) >= _FLASH_AUTO_MIN_SEQ
+        if flash and self.dropout > 0.0 and key is not None:
+            # dropout applies to the attention WEIGHTS (reference
+            # attend.py:127); only the math path can do that, so a training
+            # step with dropout>0 must not silently change semantics
+            flash = False
+        if cache_kv is None and flash:
             # pallas flash kernel: O(N) memory, keeps the additive bias
             # (the reference must drop rel-pos bias under flash, attend.py:112)
             from ..ops.pallas.flash_attention import flash_attention
             out = flash_attention(q, k[:, None], v[:, None], bias=attn_bias,
                                   key_mask=key_mask, causal=causal)
-            # flash path: dropout approximated on the output
-            out = maybe_dropout(out, self.dropout, key)
         else:
             if cache_kv is None and exists(key_mask):
                 mask = key_mask[:, None, None, :]
@@ -266,7 +279,7 @@ class Transformer(Module):
                  attn_dropout: float = 0.0, ff_dropout: float = 0.0,
                  grad_shrink_alpha: float = 0.1,
                  cond_as_self_attn_prefix: bool = False, rel_pos_bias: bool = True,
-                 flash_attn: bool = False, add_value_residual: bool = True,
+                 flash_attn: "bool | str" = "auto", add_value_residual: bool = True,
                  num_residual_streams: int = 4, dim_head: int = 64,
                  key: jax.Array):
         assert not (cross_attend and cond_as_self_attn_prefix)

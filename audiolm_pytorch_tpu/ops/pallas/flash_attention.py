@@ -279,11 +279,63 @@ def _dkv_kernel(q_ref, k_ref, v_ref, lse_ref, delta_ref, g_ref, bias_ref,
         dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
 
 
-def _flash_bwd_fused(q, k, v, key_mask, out, lse, g, *, causal, scale,
+def _dbias_kernel(q_ref, k_ref, v_ref, lse_ref, delta_ref, g_ref, bias_ref,
+                  kmask_ref, db_ref, db_scratch, *, causal: bool, scale: float,
+                  block_q: int, block_k: int, num_b: int):
+    """Fused dbias pass for a batch-shared (H, N, M) bias: grid
+    (H, nq, nk, B) with BATCH innermost, so the batch reduction of
+    ds = p * (dp - delta) accumulates in VMEM scratch and each (h, qi, kj)
+    bias tile is written exactly once (NOTES round-2 worklist #2)."""
+    qi = pl.program_id(1)
+    kj = pl.program_id(2)
+    bi = pl.program_id(3)
+
+    @pl.when(bi == 0)
+    def _init():
+        db_scratch[:] = jnp.zeros_like(db_scratch)
+
+    def compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        g = g_ref[0].astype(jnp.float32)
+        lse = lse_ref[0]
+        delta = delta_ref[0]
+        s = scale * jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        s = s + bias_ref[0]
+        if kmask_ref is not None:
+            s = jnp.where(kmask_ref[0, 0][None, :] != 0, s, _NEG_INF)
+        if causal:
+            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            k_pos = kj * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(k_pos <= q_pos, s, _NEG_INF)
+        p = jnp.exp(s - lse)
+        p = jnp.where(lse > _NEG_INF / 2, p, 0.0)
+        dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        db_scratch[:] += p * (dp - delta)
+
+    if causal:
+        @pl.when(kj * block_k <= qi * block_q + block_q - 1)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(bi == num_b - 1)
+    def _finalize():
+        db_ref[0] = db_scratch[:].astype(db_ref.dtype)
+
+
+def _flash_bwd_fused(q, k, v, bias, key_mask, out, lse, g, *, causal, scale,
                      block_q, block_k, interpret):
-    """Fully-fused pallas backward (bias-less path): two kernels, dq then
-    dk/dv, both recomputing P blockwise from the saved logsumexp. O(N) memory,
-    all matmuls on the MXU."""
+    """Fully-fused pallas backward: dq then dk/dv kernels (both recomputing P
+    blockwise from the saved logsumexp), plus a third dbias kernel when a
+    batch-shared (H, N, M) bias needs a gradient. O(N) memory, all matmuls on
+    the MXU."""
     b, h, n, d = q.shape
     hk = k.shape[1]
     m = k.shape[2]
@@ -323,6 +375,12 @@ def _flash_bwd_fused(q, k, v, key_mask, out, lse, g, *, causal, scale,
     deltaf = delta.reshape(b * h, np_, 1).astype(jnp.float32)
     kmask_f = (key_mask.astype(jnp.int8)[:, None, :]
                if key_mask is not None else None)
+    bias_f = None
+    if bias is not None:
+        # batch-shared (H, N, M) bias, fp32 (matches the forward's layout)
+        bias_f = jnp.pad(bias, ((0, 0), (0, pad_n), (0, pad_m))) \
+            if (pad_n or pad_m) else bias
+        bias_f = bias_f.astype(jnp.float32)
 
     # ---- dq pass: grid (BH, nq, nk) ----
     in_specs = [
@@ -340,6 +398,11 @@ def _flash_bwd_fused(q, k, v, key_mask, out, lse, g, *, causal, scale,
                      memory_space=pltpu.VMEM),
     ]
     args = [qf, kf, vf, lsef, deltaf, gf]
+    if bias_f is not None:
+        in_specs.append(pl.BlockSpec((1, block_q, block_k),
+                                     lambda bb, i, j: (bb % h, i, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias_f)
     if kmask_f is not None:
         in_specs.append(pl.BlockSpec((1, 1, block_k),
                                      lambda bb, i, j: (bb // h, 0, j),
@@ -348,10 +411,12 @@ def _flash_bwd_fused(q, k, v, key_mask, out, lse, g, *, causal, scale,
 
     def dq_dispatch(*refs):
         idx = 6
+        bias_ref = refs[idx] if bias_f is not None else None
+        idx += 1 if bias_f is not None else 0
         kmask_ref = refs[idx] if kmask_f is not None else None
         idx += 1 if kmask_f is not None else 0
-        _dq_kernel(refs[0], refs[1], refs[2], refs[3], refs[4], refs[5], None,
-                   kmask_ref, refs[idx], refs[idx + 1], causal=causal,
+        _dq_kernel(refs[0], refs[1], refs[2], refs[3], refs[4], refs[5],
+                   bias_ref, kmask_ref, refs[idx], refs[idx + 1], causal=causal,
                    scale=scale, block_q=block_q, block_k=block_k,
                    num_k_blocks=nk)
 
@@ -381,6 +446,12 @@ def _flash_bwd_fused(q, k, v, key_mask, out, lse, g, *, causal, scale,
         pl.BlockSpec((1, block_q, d), qix, memory_space=pltpu.VMEM),
     ]
     args2 = [qf, kf, vf, lsef, deltaf, gf]
+    if bias_f is not None:
+        in_specs2.append(pl.BlockSpec(
+            (1, block_q, block_k),
+            lambda bb, j, t: ((bb * group + t // nq) % h, t % nq, j),
+            memory_space=pltpu.VMEM))
+        args2.append(bias_f)
     if kmask_f is not None:
         in_specs2.append(pl.BlockSpec(
             (1, 1, block_k),
@@ -390,10 +461,12 @@ def _flash_bwd_fused(q, k, v, key_mask, out, lse, g, *, causal, scale,
 
     def dkv_dispatch(*refs):
         idx = 6
+        bias_ref = refs[idx] if bias_f is not None else None
+        idx += 1 if bias_f is not None else 0
         kmask_ref = refs[idx] if kmask_f is not None else None
         idx += 1 if kmask_f is not None else 0
-        _dkv_kernel(refs[0], refs[1], refs[2], refs[3], refs[4], refs[5], None,
-                    kmask_ref, refs[idx], refs[idx + 1], refs[idx + 2],
+        _dkv_kernel(refs[0], refs[1], refs[2], refs[3], refs[4], refs[5],
+                    bias_ref, kmask_ref, refs[idx], refs[idx + 1], refs[idx + 2],
                     refs[idx + 3], causal=causal, scale=scale, block_q=block_q,
                     block_k=block_k, inner_steps=inner, nq=nq)
 
@@ -419,7 +492,57 @@ def _flash_bwd_fused(q, k, v, key_mask, out, lse, g, *, causal, scale,
     dq = dq.reshape(b, h, np_, d)[:, :, :n]
     dk = dk.reshape(b, hk, mp_, d)[:, :, :m]
     dv = dv.reshape(b, hk, mp_, d)[:, :, :m]
-    return dq, dk, dv
+
+    dbias = None
+    if bias_f is not None:
+        # ---- dbias pass: grid (H, nq, nk, B), batch innermost ----
+        in_specs3 = [
+            pl.BlockSpec((1, block_q, d), lambda hh, i, j, bb: (bb * h + hh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d),
+                         lambda hh, i, j, bb: (bb * hk + hh // group, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d),
+                         lambda hh, i, j, bb: (bb * hk + hh // group, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda hh, i, j, bb: (bb * h + hh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda hh, i, j, bb: (bb * h + hh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda hh, i, j, bb: (bb * h + hh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, block_k), lambda hh, i, j, bb: (hh, i, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        args3 = [qf, kf, vf, lsef, deltaf, gf, bias_f]
+        if kmask_f is not None:
+            in_specs3.append(pl.BlockSpec((1, 1, block_k),
+                                          lambda hh, i, j, bb: (bb, 0, j),
+                                          memory_space=pltpu.VMEM))
+            args3.append(kmask_f)
+
+        def dbias_dispatch(*refs):
+            idx = 7
+            kmask_ref = refs[idx] if kmask_f is not None else None
+            idx += 1 if kmask_f is not None else 0
+            _dbias_kernel(refs[0], refs[1], refs[2], refs[3], refs[4], refs[5],
+                          refs[6], kmask_ref, refs[idx], refs[idx + 1],
+                          causal=causal, scale=scale, block_q=block_q,
+                          block_k=block_k, num_b=b)
+
+        dbias = pl.pallas_call(
+            dbias_dispatch,
+            grid=(h, nq, nk, b),
+            in_specs=in_specs3,
+            out_specs=pl.BlockSpec((1, block_q, block_k),
+                                   lambda hh, i, j, bb: (hh, i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((h, np_, mp_), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((block_q, block_k), jnp.float32)],
+            interpret=interpret,
+        )(*args3)
+        dbias = dbias[:, :n, :m]
+    return dq, dk, dv, dbias
 
 
 def _math_reference(q, k, v, bias, key_mask, causal, scale):
@@ -549,13 +672,16 @@ def _make_vjp_fn(causal, scale, block_q, block_k, interpret, has_bias, has_kmask
 
     def bwd(res, g):
         q, k, v, bias, key_mask, out, lse = res
-        if bias is None:
-            # fully-fused pallas dq + dkv kernels (no dbias needed)
-            dq, dk, dv = _flash_bwd_fused(
-                q, k, v, key_mask, out, lse, g, causal=causal, scale=scale,
-                block_q=block_q, block_k=block_k, interpret=interpret)
-            return dq, dk, dv, None, None
-        # bias requires a gradient: chunked XLA recurrence (computes dbias)
+        if bias is None or bias.ndim == 3:
+            # fully-fused pallas dq + dkv (+ dbias for batch-shared bias)
+            dq, dk, dv, dbias = _flash_bwd_fused(
+                q, k, v, bias, key_mask, out, lse, g, causal=causal,
+                scale=scale, block_q=block_q, block_k=block_k,
+                interpret=interpret)
+            if dbias is not None:
+                dbias = dbias.astype(bias.dtype)
+            return dq, dk, dv, dbias, None
+        # per-batch (B, H, N, M) bias gradient: chunked XLA recurrence
         dq, dk, dv, dbias = _flash_bwd_chunked(
             q, k, v, bias, key_mask, out, lse, g, causal=causal, scale=scale,
             block_k=block_k)

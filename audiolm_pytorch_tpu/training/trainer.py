@@ -278,7 +278,8 @@ class SoundStreamTrainer(_TrainerBase):
                  save_model_every: int = 1000, results_folder: str = "./results",
                  use_ema: bool = True, use_wandb_tracking: bool = False,
                  data_parallel: bool = True, seed: int = 42,
-                 valid_frac: float = 0.05, bf16_compute: bool = False, **kwargs):
+                 valid_frac: float = 0.05, bf16_compute: bool = False,
+                 train_discriminators: bool = True, **kwargs):
         super().__init__(results_folder=results_folder,
                          num_train_steps=num_train_steps, batch_size=batch_size,
                          grad_accum_every=grad_accum_every,
@@ -289,6 +290,9 @@ class SoundStreamTrainer(_TrainerBase):
         self.model = soundstream
         self.bf16_compute = bf16_compute
         self.apply_grad_penalty_every = apply_grad_penalty_every
+        # recon-pretrain phases train no discriminators (the G loss also skips
+        # their forwards when adv/feat weights are 0 — see SoundStream.__call__)
+        self.train_discriminators = train_discriminators
         self.use_ema = use_ema
         self.ema_kwargs = dict(beta=ema_beta, update_after_step=ema_update_after_step,
                                update_every=ema_update_every)
@@ -454,11 +458,14 @@ class SoundStreamTrainer(_TrainerBase):
         self.model, self.gen_opt_state, self.ema_state, g_loss, bd = self._g_step(
             gen_params, gen_rest, self.gen_opt_state, self.ema_state, waves, kg)
 
-        apply_gp = (self.steps % self.apply_grad_penalty_every) == 0
-        discr_params, discr_rest = partition_trainable_where(self.model, _discr_path)
-        new_dparams, self.discr_opt_state, d_loss = self._d_step[apply_gp](
-            discr_params, discr_rest, self.discr_opt_state, waves, kd)
-        self.model = combine(new_dparams, discr_rest)
+        if self.train_discriminators:
+            apply_gp = (self.steps % self.apply_grad_penalty_every) == 0
+            discr_params, discr_rest = partition_trainable_where(self.model, _discr_path)
+            new_dparams, self.discr_opt_state, d_loss = self._d_step[apply_gp](
+                discr_params, discr_rest, self.discr_opt_state, waves, kd)
+            self.model = combine(new_dparams, discr_rest)
+        else:
+            d_loss = 0.0
 
         recon, mel, adv, feat, commit = (float(x) for x in bd)
         logs = dict(loss=float(g_loss), recon_loss=recon, multi_spectral=mel,

@@ -114,6 +114,10 @@ def main():
     ap.add_argument("--recon-weight", type=float, default=10.0)
     ap.add_argument("--commit-weight", type=float, default=1.0, help="rq commitment weight (0 disables the encoder-collapsing pull during cold start - see NOTES silence-equilibrium item)")
     ap.add_argument("--no-rotation", action="store_true", help="plain STE instead of the rotation trick (see NOTES: with degenerate early codes the per-vector rotation scrambles the recon gradient direction and the commit loss collapses the encoder)")
+    ap.add_argument("--mel-weight", type=float, default=1e-5, help="multi-scale mel recon weight (reference default 1e-5 is effectively off)")
+    ap.add_argument("--resume", default=None, help="'latest' or a checkpoint path; loads model+opts+ema before training")
+    ap.add_argument("--cosine", action="store_true", help="cosine LR decay to 0 over --steps")
+    ap.add_argument("--curve", default="quality_curve.jsonl", help="curve filename under --out")
     args = ap.parse_args()
 
     import jax
@@ -153,6 +157,7 @@ def main():
         recon_loss_weight=args.recon_weight,
         adversarial_loss_weight=args.adv_weight,
         feature_loss_weight=args.feat_weight,
+        multi_spectral_recon_loss_weight=args.mel_weight,
         # batch*frames (400/step) < codebook_size (1024): the reference's
         # threshold_ema_dead_code=2.0 then re-seeds most codes every step
         # (measured: 12 unique codes across 8 quantizers after 4k steps,
@@ -167,9 +172,15 @@ def main():
         data_max_length=args.max_length, num_train_steps=args.steps,
         lr=args.lr, warmup_steps=args.warmup,
         apply_grad_penalty_every=10 ** 9 if args.no_gp else 4,
+        scheduler_cosine_decay=args.cosine,
         save_results_every=10 ** 9, save_model_every=1000,
         results_folder=str(out / "results"), use_ema=True,
-        bf16_compute=not args.fp32, data_parallel=False, valid_frac=0.02)
+        bf16_compute=not args.fp32, data_parallel=False, valid_frac=0.02,
+        train_discriminators=not (args.adv_weight == 0 and args.feat_weight == 0))
+    if args.resume == "latest":
+        trainer.resume_latest()
+    elif args.resume:
+        trainer.load(Path(args.resume))
 
     # fixed held-out eval batch
     val_items = [trainer.valid_ds[i] for i in range(min(8, len(trainer.valid_ds)))]
@@ -182,24 +193,31 @@ def main():
 
     curve = []
     t0 = time.time()
-    for i in range(args.steps):
+    start = int(trainer.steps)
+    n_todo = max(0, args.steps - start)
+    for i in range(n_todo):
         logs = trainer.train_step()
-        if i % args.eval_every == 0 or i == args.steps - 1:
+        if i % args.eval_every == 0 or i == n_todo - 1:
             snrs, recon = eval_model(trainer.model, val)
             snr = float(jnp.mean(snrs))
             md = float(mel_distance(recon, val, SR))
-            row = dict(step=i, si_snr=round(snr, 3), mel_dist=round(md, 4),
+            row = dict(step=int(trainer.steps), si_snr=round(snr, 3),
+                       mel_dist=round(md, 4),
                        recon=round(logs["recon_loss"], 5),
                        g=round(logs["loss"], 3), d=round(logs["discr_loss"], 3),
                        wall_s=round(time.time() - t0, 1))
+            if trainer.ema_state is not None:
+                ema_snrs, _ = eval_model(trainer.ema_state.shadow, val)
+                row["ema_si_snr"] = round(float(jnp.mean(ema_snrs)), 3)
             curve.append(row)
             print(json.dumps(row), flush=True)
-            with open(out / "quality_curve.jsonl", "a") as f:
+            with open(out / args.curve, "a") as f:
                 f.write(json.dumps(row) + "\n")
-    snrs, recon = eval_model(trainer.model, val)
+    best = trainer.ema_state.shadow if trainer.ema_state is not None else trainer.model
+    snrs, recon = eval_model(best, val)
     save_audio(out / "heldout_recon.wav", np.asarray(recon[0]), SR)
     save_audio(out / "heldout_ref.wav", np.asarray(val[0]), SR)
-    print("final held-out SI-SNR:", float(jnp.mean(snrs)))
+    print("final held-out SI-SNR (ema):", float(jnp.mean(snrs)))
 
 
 if __name__ == "__main__":

@@ -133,3 +133,45 @@ def test_fused_pallas_backward_unaligned_no_mask():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2,
                                    atol=1e-3)
+
+
+def test_fused_dbias_unaligned_masked_mqa():
+    """Round-3 fused dbias kernel: batch-shared (H, N, M) bias gradient from
+    the third pallas pass (grid (H, nq, nk, B), batch innermost) must match
+    math autodiff with MQA + key_mask + non-block-aligned lengths."""
+    q, k, v = make_qkv(n=50, m=50, mqa=True)
+    bias = 0.3 * jax.random.normal(jax.random.PRNGKey(7), (4, 50, 50))
+    mask = jnp.ones((2, 50), bool).at[0, 41:].set(False)
+
+    def loss_flash(q, k, v, bias):
+        return jnp.sum(flash_attention(q, k, v, bias=bias, key_mask=mask,
+                                       causal=True, block_q=16, block_k=16) ** 2)
+
+    def loss_math(q, k, v, bias):
+        return jnp.sum(attend(q, k, v, attn_bias=bias,
+                              mask=mask[:, None, None, :], causal=True) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g2 = jax.grad(loss_math, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2,
+                                   atol=1e-3)
+
+
+def test_per_batch_bias_grad_chunked_fallback():
+    """(B, H, N, M) bias still takes the chunked XLA backward; grads match."""
+    q, k, v = make_qkv(n=32, m=32)
+    bias = 0.3 * jax.random.normal(jax.random.PRNGKey(8), (2, 4, 32, 32))
+
+    def loss_flash(q, k, v, bias):
+        return jnp.sum(flash_attention(q, k, v, bias=bias, causal=True,
+                                       block_q=16, block_k=16) ** 2)
+
+    def loss_math(q, k, v, bias):
+        return jnp.sum(attend(q, k, v, attn_bias=bias, causal=True) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g2 = jax.grad(loss_math, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2,
+                                   atol=1e-3)
