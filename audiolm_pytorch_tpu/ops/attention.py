@@ -38,13 +38,16 @@ def attend(q, k, v, *, mask=None, attn_bias=None, causal: bool = False,
     scale = scale if scale is not None else q.shape[-1] ** -0.5
     # matmuls run in the INPUT dtype on the MXU with fp32 accumulation
     # (bf16-in/fp32-acc is 2x the fp32 MXU rate and halves HBM traffic for
-    # the attention matrix under bf16 compute); softmax statistics stay fp32
-    qs = q * jnp.asarray(scale, q.dtype)
-    sim = jnp.einsum("bhnd,bkmd->bhnm", qs, k,
+    # the attention matrix under bf16 compute); softmax statistics stay fp32.
+    # The softmax scale is applied to the fp32 sim output — free, and under
+    # bf16 inputs it avoids rounding the scale to ~3 decimal digits
+    # (ADVICE r2: scaling bf16 q perturbed logit temperature by up to ~0.4%)
+    sim = jnp.einsum("bhnd,bkmd->bhnm", q, k,
                      preferred_element_type=jnp.float32) \
         if k.shape[1] != q.shape[1] and k.shape[1] == 1 \
-        else jnp.einsum("bhnd,bhmd->bhnm", qs, k,
+        else jnp.einsum("bhnd,bhmd->bhnm", q, k,
                         preferred_element_type=jnp.float32)
+    sim = sim * scale
     if attn_bias is not None:
         sim = sim + attn_bias.astype(sim.dtype)
     if causal:

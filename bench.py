@@ -26,7 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-V5E_BF16_PEAK_FLOPS = 197e12
+# published bf16 peaks per device kind; None (unknown kind) -> mfu omitted
+BF16_PEAK_FLOPS = {
+    "TPU v5 lite": 197e12, "TPU v5e": 197e12,
+    "TPU v4": 275e12, "TPU v5p": 459e12, "TPU v6e": 918e12,
+}
 
 
 def bench_codec(out):
@@ -104,10 +108,12 @@ def bench_lm_train(out):
     out["lm_train_tokens_per_s"] = round(tps)
     out["lm_train_ms_per_step"] = round(dt * 1e3, 2)
     out["lm_train_model_tflops_per_s"] = round(flops / dt / 1e12, 1)
-    # NOTE: the axon tunnel reports device_kind "TPU v5 lite" but sustains
-    # well above the published v5e bf16 peak (197 TF/s) on this step, so this
-    # ratio can exceed 1 — treat tokens/s and tflops/s as the ground truth
-    out["lm_train_mfu"] = round(flops / dt / V5E_BF16_PEAK_FLOPS, 4)
+    # ADVICE r2: derive the peak from the detected device kind and omit the
+    # ratio when unknown. The axon tunnel's "TPU v5 lite" sustains above the
+    # published 197 TF/s on this step, so mfu can exceed 1 — tokens/s and
+    # model_tflops_per_s are the ground truth; mfu is against the nominal peak
+    peak = BF16_PEAK_FLOPS.get(jax.devices()[0].device_kind)
+    out["lm_train_mfu"] = round(flops / dt / peak, 4) if peak else None
 
 
 def bench_gen_3stage(out):

@@ -13,6 +13,23 @@ from audiolm_pytorch_tpu.models.vq_wav2vec import FairseqVQWav2Vec
 KEY = jax.random.PRNGKey(0)
 
 
+def test_t5_fallback_tokenizer_warns_once():
+    """Hash-tokenizer fallback must loudly warn that conditioning is
+    non-semantic (VERDICT r2 next-step 10); only fires once."""
+    import warnings
+    from audiolm_pytorch_tpu.models import t5 as t5_mod
+    if t5_mod._get_tokenizer("google/t5-v1_1-small") is not None:
+        pytest.skip("real tokenizer cached; fallback not in use")
+    t5_mod._warned_fallback = False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        tokenize_text(["hello"])
+        tokenize_text(["again"])
+    runtime = [x for x in w if issubclass(x.category, RuntimeWarning)
+               and "hash tokenizer" in str(x.message)]
+    assert len(runtime) == 1
+
+
 def test_t5_tokenize_and_encode():
     ids, mask = tokenize_text(["hello world", "a"])
     assert ids.shape[0] == 2 and mask.dtype == bool

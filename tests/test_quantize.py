@@ -256,7 +256,8 @@ def test_rotation_trick_gradient_scale_bounded():
     run. The clamped-gradient form must keep encoder/decoder grads within a
     sane ratio while the forward still returns exactly the quantized value."""
     import sys
-    sys.path.insert(0, "tests")
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
     from test_soundstream import tiny_soundstream
     from audiolm_pytorch_tpu.nn.module import combine, partition_trainable
 

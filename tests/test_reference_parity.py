@@ -206,6 +206,10 @@ def test_cross_attention_null_kv_parity(ref_alm):
 
 
 def _port_transformer(ours, rt, depth, cross=False):
+    return set_params(ours, _transformer_mapping(rt, depth, cross))
+
+
+def _transformer_mapping(rt, depth, cross=False):
     mapping = {}
     if rt.rel_pos_bias is not None:
         rpb = rt.rel_pos_bias
@@ -249,7 +253,7 @@ def _port_transformer(ours, rt, depth, cross=False):
             pre + "norm.gamma": t2n(f[3].gamma),
             pre + "proj_out.weight": lin_w(f[5]),
         })
-    return set_params(ours, mapping)
+    return mapping
 
 
 def test_transformer_parity(ref_alm):
@@ -524,3 +528,186 @@ def test_full_codec_encoder_decoder_parity(ref_ss):
     g = ours.decoder_final(g)
     np.testing.assert_allclose(np.asarray(g).transpose(0, 2, 1), t2n(dec_ref),
                                rtol=3e-4, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# Assembled language models (VERDICT r2 Missing #4): the three full reference
+# LMs — start tokens, offset embeddings, cross_attn_bias, per-quantizer logit
+# heads, 2-D fine bias — vs ours with ported weights, text conditioning off
+# (reference: audiolm_pytorch.py:564-1368).
+# ---------------------------------------------------------------------------
+
+# cond_dim pinned to dim so text_dim == dim (proj = Identity on both sides)
+LM_KW = dict(dim=32, depth=2, heads=4, cond_dim=32)
+
+
+def _patch_t5_dim(ref_alm):
+    """The reference evaluates get_encoded_dim(t5_name) eagerly inside
+    default(cond_dim, ...) (audiolm_pytorch.py:606), which fetches the HF
+    config — unavailable offline. cond_dim overrides the value anyway."""
+    ref_alm.get_encoded_dim = lambda *_: LM_KW["dim"]
+LM_XKW = dict(dim_head=8, num_residual_streams=1)
+
+
+def test_semantic_transformer_assembled_parity(ref_alm):
+    _patch_t5_dim(ref_alm)
+    from audiolm_pytorch_tpu.models.lm import SemanticTransformer
+    vocab = 20
+    rt = ref_alm.SemanticTransformer(num_semantic_tokens=vocab, flash_attn=False,
+                                     **LM_KW, **LM_XKW).eval()
+    ours = SemanticTransformer(num_semantic_tokens=vocab, flash_attn=False,
+                               key=KEY, **LM_KW, **LM_XKW)
+    mapping = _transformer_mapping(rt.transformer, LM_KW["depth"])
+    mapping.update({
+        "start_token": t2n(rt.start_token),
+        "semantic_embedding": t2n(rt.semantic_embedding.weight),
+        "to_logits.weight": lin_w(rt.to_logits),
+        "to_logits.bias": t2n(rt.to_logits.bias),
+    })
+    ours = set_params(ours, mapping)
+
+    rng = np.random.default_rng(11)
+    ids = rng.integers(0, vocab + 1, size=(2, 12))
+    ref = t2n(rt(ids=torch.from_numpy(ids)))
+    got = np.asarray(ours(ids=jnp.asarray(ids)))
+    assert got.shape == ref.shape == (2, 13, vocab + 1)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def _remap_coarse_embedding_rows(ref_weight, num_q, cb):
+    """Reference coarse embedding offsets stride `codebook_size`
+    (audiolm_pytorch.py:904) while ours stride codebook_size+1 so each
+    quantizer's EOS row is distinct (models/lm.py docstring). Build our table
+    so row [q*(cb+1) + id] equals the row the reference looks up for
+    (q, id) — making forwards comparable despite the layout change."""
+    d = ref_weight.shape[-1]
+    out = np.zeros((num_q * (cb + 1), d), np.float32)
+    for q in range(num_q):
+        for cid in range(cb + 1):
+            out[q * (cb + 1) + cid] = ref_weight[cid + q * cb]
+    return out
+
+
+def test_coarse_transformer_assembled_parity(ref_alm):
+    _patch_t5_dim(ref_alm)
+    from audiolm_pytorch_tpu.models.lm import CoarseTransformer
+    ns, cb, q = 20, 16, 3
+    rt = ref_alm.CoarseTransformer(codebook_size=cb, num_coarse_quantizers=q,
+                                   num_semantic_tokens=ns, flash_attn=False,
+                                   **LM_KW, **LM_XKW).eval()
+    ours = CoarseTransformer(codebook_size=cb, num_coarse_quantizers=q,
+                             num_semantic_tokens=ns, flash_attn=False,
+                             key=KEY, **LM_KW, **LM_XKW)
+    mapping = _transformer_mapping(rt.transformer, LM_KW["depth"])
+    mapping.update({
+        "semantic_start_token": t2n(rt.semantic_start_token),
+        "coarse_start_token": t2n(rt.coarse_start_token),
+        "semantic_embedding": t2n(rt.semantic_embedding.weight),
+        "coarse_embedding": _remap_coarse_embedding_rows(
+            t2n(rt.coarse_embedding.weight), q, cb),
+        "coarse_quantize_embedding": t2n(rt.coarse_quantize_embedding.weight),
+        "cross_attn_bias": t2n(rt.cross_attn_bias),
+        "to_semantic_logits.weight": lin_w(rt.to_semantic_logits),
+        "to_semantic_logits.bias": t2n(rt.to_semantic_logits.bias),
+        "coarse_logit_weights": t2n(rt.coarse_logit_weights),
+    })
+    ours = set_params(ours, mapping)
+
+    rng = np.random.default_rng(12)
+    sem = rng.integers(0, ns, size=(2, 5))
+    # coarse length 8 with q=3 exercises the remainder logit-head path
+    coarse = rng.integers(0, cb, size=(2, 8))
+    ref_sem, ref_coarse = rt(semantic_token_ids=torch.from_numpy(sem),
+                             coarse_token_ids=torch.from_numpy(coarse))
+    got_sem, got_coarse = ours(semantic_token_ids=jnp.asarray(sem),
+                               coarse_token_ids=jnp.asarray(coarse))
+    # 9 = n_coarse + 1 positions: coarse_start predicts the first token
+    assert np.asarray(got_coarse).shape == t2n(ref_coarse).shape == (2, 9, cb + 1)
+    np.testing.assert_allclose(np.asarray(got_sem), t2n(ref_sem),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_coarse), t2n(ref_coarse),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fine_transformer_assembled_parity(ref_alm):
+    _patch_t5_dim(ref_alm)
+    from audiolm_pytorch_tpu.models.lm import FineTransformer
+    cb, qc, qf = 16, 3, 5
+    rt = ref_alm.FineTransformer(num_coarse_quantizers=qc, num_fine_quantizers=qf,
+                                 codebook_size=cb, flash_attn=False,
+                                 **LM_KW, **LM_XKW).eval()
+    ours = FineTransformer(num_coarse_quantizers=qc, num_fine_quantizers=qf,
+                           codebook_size=cb, flash_attn=False,
+                           key=KEY, **LM_KW, **LM_XKW)
+    mapping = _transformer_mapping(rt.transformer, LM_KW["depth"])
+    mapping.update({
+        "coarse_start_token": t2n(rt.coarse_start_token),
+        "fine_start_token": t2n(rt.fine_start_token),
+        "coarse_embedding": t2n(rt.coarse_embedding.weight),
+        "fine_embedding": t2n(rt.fine_embedding.weight),
+        "coarse_quantize_embedding": t2n(rt.coarse_quantize_embedding.weight),
+        "fine_quantize_embedding": t2n(rt.fine_quantize_embedding.weight),
+        "null_pos_bias": t2n(rt.null_pos_bias),
+        "pos_bias_l1.weight": lin_w(rt.pos_bias_mlp[0]),
+        "pos_bias_l1.bias": t2n(rt.pos_bias_mlp[0].bias),
+        "pos_bias_l2.weight": lin_w(rt.pos_bias_mlp[2]),
+        "pos_bias_l2.bias": t2n(rt.pos_bias_mlp[2].bias),
+        "pos_bias_l3.weight": lin_w(rt.pos_bias_mlp[4]),
+        "pos_bias_l3.bias": t2n(rt.pos_bias_mlp[4].bias),
+        "coarse_logit_weights": t2n(rt.coarse_logit_weights),
+        "fine_logit_weights": t2n(rt.fine_logit_weights),
+    })
+    ours = set_params(ours, mapping)
+
+    rng = np.random.default_rng(13)
+    # coarse stream includes an EOS and a pad token (masked out of attention,
+    # reference: audiolm_pytorch.py:1175-1177); length 7 is a non-multiple of
+    # qc=3 (remainder path); fine length 10 is a multiple of qf=5
+    coarse = rng.integers(0, cb, size=(2, 7))
+    coarse[0, 5] = cb     # eos
+    coarse[1, 6] = -1     # pad
+    fine = rng.integers(0, cb, size=(2, 10))
+    ref_coarse, ref_fine = rt(coarse_token_ids=torch.from_numpy(coarse),
+                              fine_token_ids=torch.from_numpy(fine))
+    got_coarse, got_fine = ours(jnp.asarray(coarse), jnp.asarray(fine))
+    assert np.asarray(got_fine).shape == t2n(ref_fine).shape \
+        == (2, 11, cb)  # n_fine + 1: fine_start predicts the first fine token
+    np.testing.assert_allclose(np.asarray(got_coarse), t2n(ref_coarse),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_fine), t2n(ref_fine),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_semantic_wrapper_loss_parity(ref_alm):
+    _patch_t5_dim(ref_alm)
+    """Wrapper CE loss (ignore_index masking) vs the reference wrapper
+    (reference: audiolm_pytorch.py:1563-1568)."""
+    from audiolm_pytorch_tpu.models.lm import SemanticTransformer
+    from audiolm_pytorch_tpu.models.wrappers import SemanticTransformerWrapper
+    vocab = 20
+    rt = ref_alm.SemanticTransformer(num_semantic_tokens=vocab, flash_attn=False,
+                                     **LM_KW, **LM_XKW).eval()
+    ours = SemanticTransformer(num_semantic_tokens=vocab, flash_attn=False,
+                               key=KEY, **LM_KW, **LM_XKW)
+    mapping = _transformer_mapping(rt.transformer, LM_KW["depth"])
+    mapping.update({
+        "start_token": t2n(rt.start_token),
+        "semantic_embedding": t2n(rt.semantic_embedding.weight),
+        "to_logits.weight": lin_w(rt.to_logits),
+        "to_logits.bias": t2n(rt.to_logits.bias),
+    })
+    ours = set_params(ours, mapping)
+
+    ref_w = ref_alm.SemanticTransformerWrapper(
+        transformer=rt, wav2vec=None, unique_consecutive=False).eval()
+    our_w = SemanticTransformerWrapper(transformer=ours, wav2vec=None,
+                                       unique_consecutive=False)
+
+    rng = np.random.default_rng(14)
+    ids = rng.integers(0, vocab, size=(2, 12))
+    ids[0, 9:] = -1   # trailing padding hits the CE ignore_index path
+    ref_loss = float(t2n(ref_w(semantic_token_ids=torch.from_numpy(ids),
+                               return_loss=True)))
+    got_loss = float(our_w(semantic_token_ids=jnp.asarray(ids),
+                           return_loss=True))
+    np.testing.assert_allclose(got_loss, ref_loss, rtol=2e-4, atol=2e-4)
