@@ -148,7 +148,15 @@ def collate_one_or_multiple_tensors(items, pad_to_longest: bool = True):
 
 
 class _Loader:
-    """Thread-prefetching infinite loader over a dataset."""
+    """Thread-prefetching infinite loader over a dataset.
+
+    Batch ORDER is fully deterministic (seeded shuffle + ticketed delivery):
+    workers claim a monotonically increasing ticket together with that
+    ticket's index slice under one lock, and the consumer releases batches
+    strictly in ticket order. Without this, multi-threaded prefetch delivers
+    batches in racy completion order — which silently desynchronizes
+    multi-process data parallelism, where every process must consume the
+    SAME global batch at the same step (examples/multiprocess_dp.py)."""
 
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
                  drop_last: bool = True, pad_to_longest: bool = True,
@@ -158,18 +166,29 @@ class _Loader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.pad_to_longest = pad_to_longest
-        self.queue = queue_mod.Queue(maxsize=prefetch)
+        self.prefetch = prefetch
         self.rng = random.Random(seed)
         self._stop = threading.Event()
+        self._cv = threading.Condition()
+        self._order = []
+        self._ticket = 0      # next ticket a worker will claim
+        self._next_out = 0    # next ticket the consumer will release
+        self._done = {}       # ticket -> batch
         self.threads = [threading.Thread(target=self._worker, daemon=True)
                         for _ in range(max(1, num_workers))]
-        self._order_lock = threading.Lock()
-        self._order = []
         for t in self.threads:
             t.start()
 
-    def _next_indices(self):
-        with self._order_lock:
+    def _claim(self):
+        """Claim (ticket, indices) atomically; bounded by `prefetch`."""
+        with self._cv:
+            while (self._ticket - self._next_out >= self.prefetch
+                   and not self._stop.is_set()):
+                self._cv.wait(timeout=1.0)
+            if self._stop.is_set():
+                return None, None
+            ticket = self._ticket
+            self._ticket += 1
             while len(self._order) < self.batch_size:
                 idxs = list(range(len(self.dataset)))
                 if self.shuffle:
@@ -177,26 +196,35 @@ class _Loader:
                 self._order.extend(idxs)
             batch = self._order[: self.batch_size]
             del self._order[: self.batch_size]
-            return batch
+            return ticket, batch
 
     def _worker(self):
         while not self._stop.is_set():
-            idxs = self._next_indices()
+            ticket, idxs = self._claim()
+            if ticket is None:
+                return
             items = [self.dataset[i] for i in idxs]
             batch = collate_one_or_multiple_tensors(items, self.pad_to_longest)
-            try:
-                self.queue.put(batch, timeout=60)
-            except queue_mod.Full:
-                continue
+            with self._cv:
+                self._done[ticket] = batch
+                self._cv.notify_all()
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        return self.queue.get()
+        with self._cv:
+            while self._next_out not in self._done:
+                self._cv.wait(timeout=60)
+            batch = self._done.pop(self._next_out)
+            self._next_out += 1
+            self._cv.notify_all()
+            return batch
 
     def stop(self):
         self._stop.set()
+        with self._cv:
+            self._cv.notify_all()
 
 
 def get_dataloader(ds, *, batch_size: int, pad_to_longest: bool = True,

@@ -180,8 +180,10 @@ class Attention(Module):
             else:
                 mask = pos_mask
             causal = False  # already handled by position mask
-            if exists(attn_bias):
-                # slice bias rows for current positions: (H, n, max_len)
+            if exists(attn_bias) and attn_bias.shape[1] != n:
+                # slice bias rows for current positions: (H, n, max_len).
+                # Pre-sliced (H, n, max_len) biases (the Transformer's O(L)
+                # table-row path) pass through untouched.
                 attn_bias = lax.dynamic_slice(
                     attn_bias, (0, cache_pos, 0),
                     (attn_bias.shape[0], n, max_len))
@@ -356,8 +358,22 @@ class Transformer(Module):
             rel_bias = attn_bias
         elif self.rel_pos_bias is not None:
             if use_cache:
+                # O(L) decode-time bias (NOTES r2 #5): keep only the
+                # (2L-1, H) distance table resident and materialize the rows
+                # for the current positions. For the 1-token decode step the
+                # row over keys 0..L-1 is rel = p - k + (L-1) — a REVERSED
+                # contiguous slice of the table starting at p. The full
+                # (H, L, L) table (134 MB at 2k ctx, 8 heads) never exists.
                 max_len = kv_cache.k.shape[2]
-                rel_bias = self.rel_pos_bias(max_len, max_len)  # sliced per layer
+                tab = self.rel_pos_bias.table(max_len)  # (2L-1, H)
+                if n == 1:
+                    row = lax.dynamic_slice(tab, (cache_pos, 0),
+                                            (max_len, tab.shape[1]))
+                    rel_bias = jnp.flip(row, axis=0).T[:, None, :]  # (H, 1, L)
+                else:
+                    idx = (cache_pos + jnp.arange(n)[:, None]
+                           - jnp.arange(max_len)[None, :] + (max_len - 1))
+                    rel_bias = tab[idx].transpose(2, 0, 1)  # (H, n, L)
             else:
                 rel_bias = self.rel_pos_bias(n, n)
         else:

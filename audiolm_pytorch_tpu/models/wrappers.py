@@ -85,8 +85,8 @@ def _semantic_generate_jit(tr: SemanticTransformer, ids, text_embeds, text_mask,
     if te is not None:
         te = tr._proj_text(te)
 
-    bias = tr.transformer.rel_pos_bias(total, total) \
-        if tr.transformer.rel_pos_bias is not None else None
+    # rel-pos bias: attn_bias=None lets the Transformer use its O(L)
+    # table-row path (NOTES r2 #5) instead of a resident (H, L, L) table
 
     # bf16 serving: the KV cache follows the model dtype (halves the
     # per-decode-step cache read/write traffic under cast_floats(bf16))
@@ -97,7 +97,7 @@ def _semantic_generate_jit(tr: SemanticTransformer, ids, text_embeds, text_mask,
     # ---- prefill: [start] + prompt embeds --------------------------------
     tokens = tr.embed_ids(ids)  # (B, P+1, D)
     out, cache = tr.transformer(_cfg_tile(tokens, use_cfg), context=te,
-                                context_mask=tm, attn_bias=bias,
+                                context_mask=tm,
                                 kv_cache=cache, return_kv_cache=True)
     logits = _cfg_combine(tr.to_logits(out), cond_scale, use_cfg)  # (B, P+1, V)
 
@@ -121,7 +121,7 @@ def _semantic_generate_jit(tr: SemanticTransformer, ids, text_embeds, text_mask,
         ids_buf = jax.lax.dynamic_update_slice(ids_buf, sampled[:, None], (0, pos))
         tok = get_embeds(tr.semantic_embedding, sampled[:, None])
         out, cache = tr.transformer(_cfg_tile(tok, use_cfg), context=te,
-                                    context_mask=tm, attn_bias=bias,
+                                    context_mask=tm,
                                     kv_cache=cache, return_kv_cache=True)
         step_logits = _cfg_combine(tr.to_logits(out), cond_scale, use_cfg)
         logits_buf = jax.lax.dynamic_update_slice(logits_buf, step_logits,

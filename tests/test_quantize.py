@@ -286,3 +286,32 @@ def test_rotation_trick_gradient_scale_bounded():
     qs = jax.random.normal(k2, (32, 8))
     np.testing.assert_allclose(np.asarray(_rotate_to(xs, qs)), np.asarray(qs),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_double_ema_update_equals_decay_squared():
+    """PARITY decision note (D-phase VQ-EMA cadence): re-running the EMA
+    update on the SAME batch statistics at decay d — what matching the
+    reference's D-phase train-mode forward would do under our shared-batch
+    D step — is exactly one update at decay d^2. So the reference-matching
+    knob is `rq_ema_decay`, not a second update (see PARITY.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    def make(decay):
+        return VectorQuantizeEMA(4, 8, decay=decay, kmeans_init=False,
+                                 threshold_ema_dead_code=0.0,
+                                 key=jax.random.PRNGKey(0))
+
+    flat = jax.random.normal(jax.random.PRNGKey(1), (32, 4))
+    onehot = jax.nn.one_hot(
+        jax.random.randint(jax.random.PRNGKey(2), (32,), 0, 8), 8)
+
+    twice = make(0.95)._ema_update(None, flat, onehot, None) \
+        ._ema_update(None, flat, onehot, None)
+    once_sq = make(0.95 ** 2)._ema_update(None, flat, onehot, None)
+    np.testing.assert_allclose(np.asarray(twice.cluster_size.value),
+                               np.asarray(once_sq.cluster_size.value),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(twice.embed_avg.value),
+                               np.asarray(once_sq.embed_avg.value),
+                               rtol=1e-6, atol=1e-6)

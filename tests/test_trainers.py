@@ -254,3 +254,33 @@ def test_soundstream_trainer_bf16(sine_folder, tmp_path):
     # masters stay fp32
     leaf = trainer.model.encoder_init.weight
     assert leaf.dtype == jnp.float32
+
+
+def test_d_step_does_not_mutate_vq_state(sine_folder, tmp_path):
+    """Pin the D-phase VQ-EMA cadence decision (PARITY.md deviation #5):
+    the discriminator step must not advance EMA codebook state — EMA updates
+    happen exactly once per consumed batch, in the G phase."""
+    ss = tiny_soundstream()
+    trainer = SoundStreamTrainer(
+        ss, folder=str(sine_folder), batch_size=2, grad_accum_every=1,
+        num_train_steps=2, data_max_length=1024, save_results_every=100,
+        save_model_every=100, results_folder=str(tmp_path / "results"),
+        warmup_steps=1, apply_grad_penalty_every=100, data_parallel=False)
+    from audiolm_pytorch_tpu.nn.module import combine, partition_buffers
+    from audiolm_pytorch_tpu.training.trainer import _discr_path, \
+        partition_trainable_where
+
+    waves = trainer._stack_accum(trainer.dl_iter)
+    waves = trainer._device_put_batch(waves)
+    before = jax.tree_util.tree_leaves(partition_buffers(trainer.model.rq)[0])
+
+    key = jax.random.PRNGKey(0)
+    discr_params, discr_rest = partition_trainable_where(trainer.model, _discr_path)
+    new_dparams, _, d_loss = trainer._d_step[False](
+        discr_params, discr_rest, trainer.discr_opt_state, waves, key)
+    model_after = combine(new_dparams, discr_rest)
+    after = jax.tree_util.tree_leaves(partition_buffers(model_after.rq)[0])
+    assert np.isfinite(float(d_loss))
+    assert len(before) == len(after) > 0
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
