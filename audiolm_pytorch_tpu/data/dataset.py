@@ -51,11 +51,16 @@ class SoundDataset:
     """(reference: data.py:35-126)."""
 
     def __init__(self, folder, *, target_sample_hz, max_length: Optional[int] = None,
-                 seq_len_multiple_of=None, exts=("flac", "wav"),
+                 seq_len_multiple_of=None, exts=None,
                  seed: int = 0):
-        # the reference also globs mp3/webm (data.py:49); those are lossy
-        # container formats with no decoder in this build, so globbing them by
-        # default would crash the first batch — pass exts= explicitly to opt in
+        if exts is None:
+            # reference glob: flac/wav/mp3/webm (data.py:49). mp3/webm join
+            # the default only when the FFmpeg-backed decoder built, so a
+            # missing FFmpeg degrades to wav+flac instead of crashing
+            from . import native_loader
+            exts = ("flac", "wav")
+            if native_loader.ff_available():
+                exts = exts + ("mp3", "webm")
         folder = Path(folder)
         assert folder.exists(), f"folder {folder} does not exist"
         files = []

@@ -92,3 +92,79 @@ def load_batch(paths, max_length: int, *, seed: int = 0, num_threads: int = 8):
     if rc != 0:
         raise IOError(f"failed to decode {paths[rc - 1]}")
     return out, lengths, rates
+
+
+# ---------------------------------------------------------------------------
+# FFmpeg-backed lossy-format decode (native/ffdecode.cpp): mp3 / webm / ogg...
+# Built separately from the wav/flac loader so a missing FFmpeg never affects
+# the dependency-free path (reference decodes these via torchaudio's FFmpeg
+# wrapping, reference data.py:49-52, 72).
+# ---------------------------------------------------------------------------
+
+_FF_SRC = _SRC.parent / "ffdecode.cpp"
+_FF_LIB = _SRC.parent / "libffdecode.so"
+_ff_lib = None
+_ff_tried = False
+
+
+def _ff_get_lib():
+    global _ff_lib, _ff_tried
+    with _lock:
+        if _ff_lib is not None or _ff_tried:
+            return _ff_lib
+        _ff_tried = True
+        try:
+            if not _FF_LIB.exists() or _FF_LIB.stat().st_mtime < _FF_SRC.stat().st_mtime:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o",
+                     str(_FF_LIB), str(_FF_SRC),
+                     "-lavformat", "-lavcodec", "-lavutil", "-lswresample"],
+                    check=True, capture_output=True)
+            lib = ctypes.CDLL(str(_FF_LIB))
+            lib.ffd_decode_alloc.restype = ctypes.c_int
+            lib.ffd_decode_alloc.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int)]
+            lib.ffd_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+            lib.ffd_encode.restype = ctypes.c_int
+            lib.ffd_encode.argtypes = [
+                ctypes.c_char_p,
+                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+                ctypes.c_long, ctypes.c_int]
+            _ff_lib = lib
+        except Exception:
+            _ff_lib = None
+        return _ff_lib
+
+
+def ff_available() -> bool:
+    return _ff_get_lib() is not None
+
+
+def ff_decode(path):
+    """Decode any FFmpeg-supported audio file -> (mono float32 (T,), rate)."""
+    lib = _ff_get_lib()
+    if lib is None:
+        raise RuntimeError("FFmpeg decoder unavailable (libffdecode build failed)")
+    buf = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_long()
+    rate = ctypes.c_int()
+    rc = lib.ffd_decode_alloc(str(path).encode(), ctypes.byref(buf),
+                              ctypes.byref(n), ctypes.byref(rate))
+    if rc != 0:
+        raise IOError(f"FFmpeg failed to decode {path} (code {rc})")
+    out = np.ctypeslib.as_array(buf, shape=(n.value,)).copy()
+    lib.ffd_free(buf)
+    return out, int(rate.value)
+
+
+def ff_encode(path, pcm, rate: int):
+    """Encode mono float32 PCM with the container's default codec
+    (.mp3 -> lame, .webm -> opus, .ogg -> vorbis). Test-fixture helper."""
+    lib = _ff_get_lib()
+    if lib is None:
+        raise RuntimeError("FFmpeg encoder unavailable (libffdecode build failed)")
+    pcm = np.ascontiguousarray(pcm, np.float32)
+    rc = lib.ffd_encode(str(path).encode(), pcm, len(pcm), int(rate))
+    if rc != 0:
+        raise IOError(f"FFmpeg failed to encode {path} (code {rc})")

@@ -10,9 +10,14 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["load_audio", "save_audio", "SUPPORTED_EXTENSIONS"]
+__all__ = ["load_audio", "save_audio", "SUPPORTED_EXTENSIONS",
+           "FFMPEG_EXTENSIONS"]
 
 SUPPORTED_EXTENSIONS = (".wav", ".flac")
+# lossy container formats decoded through the FFmpeg-backed native library
+# (native/ffdecode.cpp) — matching the reference's torchaudio path for its
+# mp3/webm glob (reference: data.py:49-52, 72)
+FFMPEG_EXTENSIONS = (".mp3", ".webm", ".ogg", ".opus", ".m4a", ".mp4", ".aac")
 
 
 def load_audio(path):
@@ -33,9 +38,18 @@ def load_audio(path):
         length, rate, _ = native_loader.probe(path)
         out, _, _ = native_loader.load_batch([path], length)
         return out[:1], rate  # already mono-downmixed, shape (1, T)
+    if path.suffix.lower() in FFMPEG_EXTENSIONS:
+        from ..data import native_loader
+        if not native_loader.ff_available():
+            raise RuntimeError(
+                f"{path.suffix} decode requires the FFmpeg-backed native "
+                "library (g++ build of native/ffdecode.cpp against "
+                "libavformat/libavcodec failed or FFmpeg dev libs missing)")
+        mono, rate = native_loader.ff_decode(path)
+        return mono[None], rate  # mono downmix, shape (1, T)
     raise ValueError(
-        f"unsupported audio format {path.suffix} (wav/flac supported; "
-        "mp3/webm are not decodable in this build)")
+        f"unsupported audio format {path.suffix} "
+        f"(supported: {SUPPORTED_EXTENSIONS + FFMPEG_EXTENSIONS})")
 
 
 def _load_wav(path):
