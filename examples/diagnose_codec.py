@@ -35,7 +35,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from audiolm_pytorch_tpu import SoundStream, SoundStreamTrainer
-    from audiolm_pytorch_tpu.utils.metrics import mel_distance, si_snr
+    from audiolm_pytorch_tpu.utils.metrics import mel_distance, si_snr, stoi
 
     # exact architecture from examples/train_codec_corpus.py
     ss = SoundStream(
@@ -68,7 +68,8 @@ def main():
     def report(tag, m, x):
         recon = m(x, return_recons_only=True)
         print(f"{tag:28s} si_snr={float(jnp.mean(si_snr(recon, x))):7.3f}  "
-              f"mel={float(mel_distance(recon, x, SR)):.4f}")
+              f"mel={float(mel_distance(recon, x, SR)):.4f}  "
+              f"stoi={stoi(np.asarray(recon), np.asarray(x), SR):.4f}")
 
     report("heldout raw", model, val)
     if ema is not None:

@@ -161,3 +161,20 @@ def test_si_snr_and_mel_distance():
     snr = float(si_snr(noisy, ref)[0])
     assert 5 < snr < 30
     assert float(mel_distance(noisy, ref, 16000)) > 0.01
+
+
+def test_stoi_monotone_in_noise():
+    """Perceptual metric sanity: identical -> ~1, degrading with noise."""
+    from audiolm_pytorch_tpu.utils.metrics import stoi
+    rng = np.random.default_rng(0)
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    x = sum(np.sin(2 * np.pi * 150 * h * t + h) / h
+            * (0.6 + 0.4 * np.sin(2 * np.pi * 4 * t)) for h in range(1, 10))
+    x = (x / np.abs(x).max()).astype(np.float32)
+    s_id = stoi(x, x, sr)
+    s_lo = stoi(x + 0.05 * rng.normal(size=x.shape), x, sr)
+    s_hi = stoi(x + 1.0 * rng.normal(size=x.shape), x, sr)
+    assert s_id > 0.99
+    assert s_id > s_lo > s_hi
+    assert s_hi < 0.5
