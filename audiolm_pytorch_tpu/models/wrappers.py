@@ -85,7 +85,9 @@ def _spec_decode_loop(*, buf, cache, last_out, key, start_flat: int,
     Q = num_q
 
     def head(hidden, j, allow_eos):
-        lw = logit_weights[j]
+        # j may be a static int (draft/verify unroll) or a traced index
+        # (the fori_loop tail)
+        lw = jnp.take(logit_weights, j, axis=0)
         logits = hidden @ lw.T.astype(hidden.dtype)
         # EOS (or, for fine heads, the reference-faithful last-code slot —
         # audiolm_pytorch.py:1987) only at a timestep boundary
@@ -137,25 +139,32 @@ def _spec_decode_loop(*, buf, cache, last_out, key, start_flat: int,
             A = jnp.asarray(Q, jnp.int32)
         tokens = jnp.stack(verify, axis=1)  # (B, Q); correct for j < A
 
-        # sequential tail: rewind cache to the accepted prefix, redo j >= A
-        carry = (KVCache(cache2.k, cache2.v, P + A), outs[:, 0], tokens)
-        for j in range(1, Q):
-            def redo(c, _j=j):
-                cache_c, last_h, tokens = c
+        # sequential tail: rewind cache to the accepted prefix, redo j >= A.
+        # A fori_loop with a TRACED quantizer index j keeps compile cost at
+        # one transformer trace for the whole tail (an unrolled tail would
+        # trace Q-1 copies of the network)
+        def tail_body(j, carry):
+            def redo(c):
+                cache_c, last_h, toks = c
                 hj = _cfg_combine(last_h, cond_scale, use_cfg)
-                tok_j = _sample_from_logits(ks[_j], head(hj, _j, False),
+                kj = jnp.take(ks, j, axis=0)
+                tok_j = _sample_from_logits(kj, head(hj, j, False),
                                             filter_thres, temperature)
-                tokens = tokens.at[:, _j].set(tok_j)
+                toks = jax.lax.dynamic_update_slice(toks, tok_j[:, None], (0, j))
                 out1, cache_c = forward_fn(
-                    embed_fn(tok_j, _j)[:, None].astype(last_h.dtype), cache_c)
-                return cache_c, out1[:, -1], tokens
+                    embed_fn(tok_j, j)[:, None].astype(last_h.dtype), cache_c)
+                return cache_c, out1[:, -1], toks
 
-            def keep(c, _j=j):
-                cache_c, _, tokens = c
-                return cache_c, outs[:, _j], tokens
+            def keep(c):
+                cache_c, _, toks = c
+                last_h = jax.lax.dynamic_index_in_dim(outs, j, axis=1,
+                                                      keepdims=False)
+                return cache_c, last_h, toks
 
-            carry = jax.lax.cond(j >= A, redo, keep, carry)
-        cache3, last_h, tokens = carry
+            return jax.lax.cond(j >= A, redo, keep, carry)
+
+        carry = (KVCache(cache2.k, cache2.v, P + A), outs[:, 0], tokens)
+        cache3, last_h, tokens = jax.lax.fori_loop(1, Q, tail_body, carry)
 
         buf = jax.lax.dynamic_update_slice(buf, tokens, (0, i0))
         return t + 1, buf, cache3, last_h, key
