@@ -74,6 +74,11 @@ def main():
     report("heldout raw", model, val)
     if ema is not None:
         report("heldout EMA", ema, val)
+        recon = ema(val, return_recons_only=True)
+        per = si_snr(recon, val)
+        for i in range(val.shape[0]):
+            print(f"  heldout clip {i}: si_snr={float(per[i]):7.3f}  "
+                  f"stoi={stoi(np.asarray(recon[i]), np.asarray(val[i]), SR):.4f}")
     report("train raw", model, trn)
 
     # quantization bypass: decoder fed the encoder's pre-VQ latents directly

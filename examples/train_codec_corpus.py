@@ -115,6 +115,7 @@ def main():
     ap.add_argument("--commit-weight", type=float, default=1.0, help="rq commitment weight (0 disables the encoder-collapsing pull during cold start - see NOTES silence-equilibrium item)")
     ap.add_argument("--no-rotation", action="store_true", help="plain STE instead of the rotation trick (see NOTES: with degenerate early codes the per-vector rotation scrambles the recon gradient direction and the commit loss collapses the encoder)")
     ap.add_argument("--mel-weight", type=float, default=1e-5, help="multi-scale mel recon weight (reference default 1e-5 is effectively off)")
+    ap.add_argument("--dead-code-threshold", type=float, default=0.25, help="0 disables dead-code expiry entirely (with batch*frames << codebook_size ANY nonzero threshold reseeds the sub-threshold majority of codes EVERY step: a reseeded code gets cluster_size=threshold, decays below it next step, and is reseeded again - permanent codebook churn)")
     ap.add_argument("--resume", default=None, help="'latest' or a checkpoint path; loads model+opts+ema before training")
     ap.add_argument("--cosine", action="store_true", help="cosine LR decay to 0 over --steps")
     ap.add_argument("--curve", default="quality_curve.jsonl", help="curve filename under --out")
@@ -163,7 +164,7 @@ def main():
         # (measured: 12 unique codes across 8 quantizers after 4k steps,
         # decoder collapsed to silence). 0.25 keeps once-in-a-while-used
         # codes alive (see quantize.py expiry note).
-        rq_kwargs=dict(threshold_ema_dead_code=0.25),
+        rq_kwargs=dict(threshold_ema_dead_code=args.dead_code_threshold),
         rq_rotation_trick=not args.no_rotation,
         rq_commitment_weight=args.commit_weight,
         key=jax.random.PRNGKey(0))
