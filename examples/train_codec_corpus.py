@@ -28,7 +28,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 SR = 16000
 
 
-def synth_clip(rng, seconds=3.0):
+def synth_clip(rng, seconds=3.0, return_label=False):
     n = int(seconds * SR)
     t = np.arange(n) / SR
     kind = rng.random()
@@ -69,6 +69,10 @@ def synth_clip(rng, seconds=3.0):
         k = np.hanning(int(rng.integers(8, 64)))
         sig = np.convolve(sig, k / k.sum(), mode="same")
     sig = sig / (np.abs(sig).max() + 1e-7) * rng.uniform(0.3, 0.8)
+    if return_label:
+        label = ("speech" if kind < 0.8 else "chirp" if kind < 0.9
+                 else "chord" if kind < 0.95 else "noise")
+        return sig.astype(np.float32), label
     return sig.astype(np.float32)
 
 
