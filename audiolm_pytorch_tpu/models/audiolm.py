@@ -62,7 +62,13 @@ class AudioLM(Module):
                  prime_wave_path=None, max_length: int = 2048,
                  max_coarse_time_steps: int = 512,
                  return_coarse_generated_wave: bool = False,
-                 mask_out_generated_fine_tokens: bool = False, key=None):
+                 mask_out_generated_fine_tokens: bool = False,
+                 speculative: bool = False, key=None):
+        # speculative: draft-then-verify multi-quantizer decode in the coarse
+        # and fine stages (models/wrappers.py); token-equivalent at
+        # temperature->0, measured faster at the reference configs (bench.py
+        # gen_3stage_rtf_speculative). Our extension - no reference analogue
+        # (their nested loop: audiolm_pytorch.py:1677-1706).
         assert not (self.needs_text and (not exists(text) and not exists(text_embeds))), \
             "text must be provided when any transformer is text-conditioned"
         key = default(key, jax.random.PRNGKey(0))
@@ -94,7 +100,8 @@ class AudioLM(Module):
             semantic_token_ids=semantic_token_ids, prime_wave=prime_wave,
             prime_wave_input_sample_hz=prime_wave_input_sample_hz,
             max_time_steps=max_coarse_time_steps,
-            reconstruct_wave=return_coarse_generated_wave, key=k2)
+            reconstruct_wave=return_coarse_generated_wave,
+            speculative=speculative, key=k2)
 
         if return_coarse_generated_wave:
             return coarse_out
@@ -104,5 +111,6 @@ class AudioLM(Module):
             coarse_token_ids=coarse_out, prime_wave=prime_wave,
             prime_wave_input_sample_hz=prime_wave_input_sample_hz,
             reconstruct_wave=True,
-            mask_out_generated_fine_tokens=mask_out_generated_fine_tokens, key=k3)
+            mask_out_generated_fine_tokens=mask_out_generated_fine_tokens,
+            speculative=speculative, key=k3)
         return generated_wave

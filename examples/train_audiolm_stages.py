@@ -147,7 +147,7 @@ def main():
     trainer_kw = dict(folder=str(data), batch_size=args.batch,
                       grad_accum_every=1, num_train_steps=args.steps,
                       lr=args.lr, data_max_length=SR,
-                      save_results_every=10 ** 9, save_model_every=500,
+                      save_results_every=250, save_model_every=500,
                       data_parallel=False, bf16_compute=True, valid_frac=0.02)
 
     def run_stage(name, trainer):
@@ -157,10 +157,12 @@ def main():
         for i in range(max(0, args.steps - start)):
             logs = trainer.train_step()
             losses.append(logs["loss"])
-            if i % 100 == 0:
+            if i % 100 == 0 or "valid_loss" in logs:
                 row = dict(stage=name, step=int(trainer.steps),
                            loss=round(float(np.mean(losses[-100:])), 4),
                            wall_s=round(time.time() - t0, 1))
+                if "valid_loss" in logs:
+                    row["valid_loss"] = round(logs["valid_loss"], 4)
                 print(json.dumps(row), flush=True)
                 with open(out / "stages_log.jsonl", "a") as f:
                     f.write(json.dumps(row) + "\n")

@@ -46,6 +46,20 @@ def test_audiolm_end_to_end_generation(tiny_stack):
     assert np.asarray(wav0).size % codec.seq_len_multiple_of == 0
 
 
+def test_audiolm_speculative_end_to_end(tiny_stack):
+    """speculative=True routes draft-then-verify decode through the whole
+    chain (AudioLM -> coarse/fine wrappers) and still produces a finite wave."""
+    wav2vec, codec, semantic, coarse, fine = tiny_stack
+    audiolm = AudioLM(wav2vec=wav2vec, codec=codec,
+                      semantic_transformer=semantic,
+                      coarse_transformer=coarse, fine_transformer=fine)
+    wave = audiolm(batch_size=1, max_length=12, max_coarse_time_steps=6,
+                   speculative=True, key=KEY)
+    wav0 = (next(w for w in wave if w is not None)
+            if isinstance(wave, list) else wave[0])
+    assert np.isfinite(np.asarray(wav0)).all()
+
+
 def test_audiolm_with_prime_wave(tiny_stack):
     wav2vec, codec, semantic, coarse, fine = tiny_stack
     audiolm = AudioLM(wav2vec=wav2vec, codec=codec,
