@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--valid-frac", type=float, default=0.02)
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--ema", action="store_true", help="evaluate the EMA shadow")
+    ap.add_argument("--save-samples", type=int, default=0, metavar="N",
+                    help="save ref/recon wav pairs for the first N held-out "
+                         "speech clips under results_quality/samples/")
     args = ap.parse_args()
 
     import jax
@@ -83,6 +86,11 @@ def main():
     fwd = jax.jit(lambda m, x: m(x, return_recons_only=True))
     by_cat = defaultdict(list)
     rows = []
+    saved = 0
+    if args.save_samples:
+        from audiolm_pytorch_tpu.utils.audio_io import save_audio
+        samples_dir = Path("results_quality/samples")
+        samples_dir.mkdir(parents=True, exist_ok=True)
     for j in range(len(trainer.valid_ds)):
         x = trainer.valid_ds[j][: args.max_length]
         xj = jnp.asarray(x)[None]
@@ -92,6 +100,12 @@ def main():
         lab = labels[valid_idx[j]]
         by_cat[lab].append(snr)
         rows.append((valid_idx[j], lab, snr, st))
+        if args.save_samples and lab == "speech" and saved < args.save_samples:
+            save_audio(samples_dir / f"clip{valid_idx[j]:05d}_ref.wav",
+                       np.asarray(x, np.float32), SR)
+            save_audio(samples_dir / f"clip{valid_idx[j]:05d}_recon.wav",
+                       np.asarray(recon[0], np.float32), SR)
+            saved += 1
 
     print(f"checkpoint: {args.ckpt}  ({'EMA' if args.ema else 'raw'})")
     for i, lab, snr, st in rows:
