@@ -1,3 +1,5 @@
-from .streaming import StreamingCodecDecoder, decode_lookback_frames
+from .streaming import (StreamingCodecDecoder, StreamingCodecEncoder,
+                        decode_lookback_frames, encode_lookback)
 
-__all__ = ["StreamingCodecDecoder", "decode_lookback_frames"]
+__all__ = ["StreamingCodecDecoder", "StreamingCodecEncoder",
+           "decode_lookback_frames", "encode_lookback"]

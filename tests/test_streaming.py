@@ -4,7 +4,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from audiolm_pytorch_tpu.serving import StreamingCodecDecoder, decode_lookback_frames
+from audiolm_pytorch_tpu.serving import (StreamingCodecDecoder,
+                                         StreamingCodecEncoder,
+                                         decode_lookback_frames,
+                                         encode_lookback)
 from tests.test_soundstream import tiny_soundstream
 
 KEY = jax.random.PRNGKey(0)
@@ -83,3 +86,70 @@ def test_streaming_buffer_is_bounded():
     outs.append(dec.flush())
     stream = np.concatenate(outs, axis=-1)
     np.testing.assert_array_equal(stream, full)  # trimming is still bit-exact
+
+
+# --- streaming ENCODE (round 3: the encode-side twin) -----------------------
+
+def test_encode_lookback_is_finite_and_reasonable():
+    codec = tiny_soundstream()
+    conv_lb, attn_lb = encode_lookback(codec)
+    assert 0 < conv_lb < 10000   # samples
+    assert attn_lb == 2 * 16 * len(codec.encoder_attn.layers)
+
+
+def test_streaming_encode_no_attn_exact():
+    codec = tiny_soundstream(attn_window_size=None, use_local_attn=False)
+    n_frames = 96
+    x = 0.3 * jax.random.normal(KEY, (2, n_frames * codec.seq_len_multiple_of))
+    full = np.asarray(codec.tokenize(x))  # (G, B, N, Q)
+
+    enc = StreamingCodecEncoder(codec, chunk_frames=8)
+    xs = np.asarray(x)
+    outs = []
+    step = 5 * codec.seq_len_multiple_of + 3  # uneven, non-frame-aligned bites
+    for i in range(0, xs.shape[1], step):
+        outs.append(enc.push(xs[:, i:i + step]))
+    outs.append(enc.flush())
+    stream = np.concatenate(outs, axis=2)
+    assert stream.shape == full.shape
+    np.testing.assert_array_equal(stream, full)
+
+
+def test_streaming_encode_with_local_attn_exact():
+    codec = tiny_soundstream()  # attn_window_size=16
+    n_frames = 96
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(3),
+                                (2, n_frames * codec.seq_len_multiple_of))
+    full = np.asarray(codec.tokenize(x))
+
+    enc = StreamingCodecEncoder(codec, chunk_frames=16)
+    outs = [enc.push(np.asarray(x)), enc.flush()]
+    stream = np.concatenate(outs, axis=2)
+    assert stream.shape == full.shape
+    # discrete argmin codes absorb float reordering noise -> exact match
+    np.testing.assert_array_equal(stream, full)
+
+
+def test_streaming_encode_buffer_is_bounded_and_roundtrips():
+    codec = tiny_soundstream(attn_window_size=None, use_local_attn=False)
+    n_frames = 200
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(4),
+                                (1, n_frames * codec.seq_len_multiple_of))
+    full = np.asarray(codec.tokenize(x))
+
+    enc = StreamingCodecEncoder(codec, chunk_frames=8)
+    xs = np.asarray(x)
+    outs = []
+    step = 7 * codec.seq_len_multiple_of
+    for i in range(0, xs.shape[1], step):
+        outs.append(enc.push(xs[:, i:i + step]))
+    held_frames = enc._wave.shape[1] // codec.seq_len_multiple_of
+    assert held_frames <= enc.context + enc.pad_frames + enc.chunk + 7 + enc.align, held_frames
+    outs.append(enc.flush())
+    stream = np.concatenate(outs, axis=2)
+    np.testing.assert_array_equal(stream, full)
+    # chain into the streaming decoder: full streaming round trip
+    dec = StreamingCodecDecoder(codec, chunk_frames=8)
+    wave = np.concatenate([dec.push(stream), dec.flush()], axis=-1)
+    offline = np.asarray(codec.decode_from_codebook_indices(jnp.asarray(full)))
+    np.testing.assert_array_equal(wave, offline)
