@@ -54,9 +54,12 @@ def main():
     from audiolm_pytorch_tpu.utils.metrics import si_snr, stoi
     from examples.train_codec_corpus import synth_clip
 
-    # replay the corpus PRNG stream to recover each clip's category
+    # replay the corpus PRNG stream to recover each clip's category and its
+    # breath-noise SI-SNR ceiling (see synth_clip)
     rng = np.random.default_rng(0)
-    labels = [synth_clip(rng, return_label=True)[1] for _ in range(args.clips)]
+    meta = [synth_clip(rng, return_label=True)[1:] for _ in range(args.clips)]
+    labels = [m[0] for m in meta]
+    ceilings = [m[1] for m in meta]
 
     ss = SoundStream(
         channels=32, strides=(2, 4, 5, 8), channel_mults=(2, 4, 8, 16),
@@ -99,7 +102,7 @@ def main():
         st = stoi(np.asarray(recon[0]), np.asarray(x), SR)
         lab = labels[valid_idx[j]]
         by_cat[lab].append(snr)
-        rows.append((valid_idx[j], lab, snr, st))
+        rows.append((valid_idx[j], lab, snr, st, ceilings[valid_idx[j]]))
         if args.save_samples and lab == "speech" and saved < args.save_samples:
             save_audio(samples_dir / f"clip{valid_idx[j]:05d}_ref.wav",
                        np.asarray(x, np.float32), SR)
@@ -108,14 +111,20 @@ def main():
             saved += 1
 
     print(f"checkpoint: {args.ckpt}  ({'EMA' if args.ema else 'raw'})")
-    for i, lab, snr, st in rows:
-        print(f"  clip {i:5d} [{lab:6s}] si_snr={snr:7.3f}  stoi={st:.4f}")
+    for i, lab, snr, st, ceil in rows:
+        c = f"  ceiling={ceil:6.1f}" if ceil is not None else ""
+        print(f"  clip {i:5d} [{lab:6s}] si_snr={snr:7.3f}  stoi={st:.4f}{c}")
     allv = [s for v in by_cat.values() for s in v]
     print(f"overall mean si_snr = {np.mean(allv):7.3f}  (n={len(allv)})")
     for lab in ("speech", "chirp", "chord", "noise"):
         if by_cat[lab]:
             print(f"  {lab:6s} mean si_snr = {np.mean(by_cat[lab]):7.3f}  "
                   f"(n={len(by_cat[lab])})")
+    sp_ceil = [c for _, lab, _, _, c in rows if lab == "speech" and c is not None]
+    if sp_ceil:
+        print(f"  speech breath-noise SI-SNR ceiling: mean "
+              f"{np.mean(sp_ceil):6.1f} dB, min {np.min(sp_ceil):6.1f} "
+              f"(a perfect 4 kbps codec cannot exceed these per clip)")
 
 
 if __name__ == "__main__":

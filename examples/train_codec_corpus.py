@@ -56,7 +56,9 @@ def synth_clip(rng, seconds=3.0, return_label=False):
                        + rng.uniform(0, 2 * np.pi)) > -0.85).astype(float)
         gate = np.convolve(gate, np.ones(320) / 320, mode="same")
         sig = sig * am * gate
-        sig += rng.normal(0, 0.01, n)  # breath noise
+        noise = rng.normal(0, 0.01, n)  # breath noise
+        hnr_db = 10 * np.log10(np.mean(sig ** 2) / np.mean(noise ** 2) + 1e-12)
+        sig = sig + noise
     elif kind < 0.9:  # chirp
         f_start, f_end = rng.uniform(100, 2000, 2)
         phase = 2 * np.pi * np.cumsum(np.linspace(f_start, f_end, n)) / SR
@@ -72,7 +74,11 @@ def synth_clip(rng, seconds=3.0, return_label=False):
     if return_label:
         label = ("speech" if kind < 0.8 else "chirp" if kind < 0.9
                  else "chord" if kind < 0.95 else "noise")
-        return sig.astype(np.float32), label
+        # per-clip SI-SNR ceiling: the additive breath noise is waveform-
+        # incompressible at 4 kbps, so a codec that perfectly reconstructs
+        # the harmonic part scores SI-SNR ~= this harmonic-to-noise ratio
+        # (None for noiseless categories)
+        return sig.astype(np.float32), label, (hnr_db if kind < 0.8 else None)
     return sig.astype(np.float32)
 
 
