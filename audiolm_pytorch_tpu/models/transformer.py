@@ -37,7 +37,13 @@ from ..ops.sampling import grad_shrink
 __all__ = ["RelativePositionBias", "Attention", "Transformer", "KVCache"]
 
 
-_FLASH_AUTO_MIN_SEQ = 256  # crossover vs the math path, measured on v5e (BASELINE.md)
+# flash-vs-math crossover, measured on v5e with a TRAINED rel-pos bias (full
+# fwd+bwd incl. the fused dbias pass, b8 h8 d128 MQA causal, min-of-3
+# fetch-timed, examples/bench_flash_crossover.py):
+#   seq  512: math 3.4 ms, flash 4.4 ms   (math wins — XLA's materialized
+#   seq 1024: math 7.8 ms, flash 4.9 ms    path is fine when N^2 is small)
+#   seq 2048: math 20.9 ms, flash 10.3 ms
+_FLASH_AUTO_MIN_SEQ = 1024
 
 
 def maybe_dropout(x, rate: float, key):

