@@ -152,6 +152,13 @@ def collate_one_or_multiple_tensors(items, pad_to_longest: bool = True):
     return fuse([np.asarray(i) for i in items])
 
 
+class _WorkerError:
+    """Exception captured in a loader worker, published under its ticket."""
+
+    def __init__(self, exc):
+        self.exc = exc
+
+
 class _Loader:
     """Thread-prefetching infinite loader over a dataset.
 
@@ -208,8 +215,14 @@ class _Loader:
             ticket, idxs = self._claim()
             if ticket is None:
                 return
-            items = [self.dataset[i] for i in idxs]
-            batch = collate_one_or_multiple_tensors(items, self.pad_to_longest)
+            # publish exceptions under the ticket instead of dying with it
+            # unfilled: an undecodable file would otherwise leave __next__
+            # waiting on that ticket forever (silent training hang)
+            try:
+                items = [self.dataset[i] for i in idxs]
+                batch = collate_one_or_multiple_tensors(items, self.pad_to_longest)
+            except BaseException as e:  # noqa: BLE001 — re-raised in __next__
+                batch = _WorkerError(e)
             with self._cv:
                 self._done[ticket] = batch
                 self._cv.notify_all()
@@ -220,11 +233,17 @@ class _Loader:
     def __next__(self):
         with self._cv:
             while self._next_out not in self._done:
+                if self._stop.is_set():
+                    raise StopIteration
                 self._cv.wait(timeout=60)
             batch = self._done.pop(self._next_out)
             self._next_out += 1
             self._cv.notify_all()
-            return batch
+        if isinstance(batch, _WorkerError):
+            raise RuntimeError(
+                f"dataloader worker failed on ticket {self._next_out - 1}"
+            ) from batch.exc
+        return batch
 
     def stop(self):
         self._stop.set()

@@ -6,6 +6,7 @@ source; falls back to the pure-python WAV path if the toolchain is missing.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import subprocess
 import threading
 from pathlib import Path
@@ -15,16 +16,23 @@ import numpy as np
 __all__ = ["native_available", "load_batch", "probe"]
 
 _SRC = Path(__file__).resolve().parents[2] / "native" / "audioload.cpp"
-_LIB = _SRC.parent / "libaudioload.so"
 _lock = threading.Lock()
 _lib = None
 _tried = False
 
 
-def _build():
+def _hashed_lib_path(src: Path, stem: str) -> Path:
+    """Build artifact stamped with the SOURCE content hash (ADVICE r3: git
+    does not preserve mtimes, so an mtime comparison can silently dlopen a
+    stale or foreign-platform binary instead of rebuilding from source)."""
+    digest = hashlib.sha256(src.read_bytes()).hexdigest()[:12]
+    return src.parent / f"{stem}.{digest}.so"
+
+
+def _build(src: Path, lib_path: Path, extra_flags):
     subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", str(_LIB),
-         str(_SRC), "-lpthread"],
+        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", str(lib_path),
+         str(src), *extra_flags],
         check=True, capture_output=True)
 
 
@@ -35,8 +43,9 @@ def _get_lib():
             return _lib
         _tried = True
         try:
-            if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-                _build()
+            _LIB = _hashed_lib_path(_SRC, "libaudioload")
+            if not _LIB.exists():
+                _build(_SRC, _LIB, ["-lpthread"])
             lib = ctypes.CDLL(str(_LIB))
             lib.al_load_batch.restype = ctypes.c_int
             lib.al_load_batch.argtypes = [
@@ -102,7 +111,6 @@ def load_batch(paths, max_length: int, *, seed: int = 0, num_threads: int = 8):
 # ---------------------------------------------------------------------------
 
 _FF_SRC = _SRC.parent / "ffdecode.cpp"
-_FF_LIB = _SRC.parent / "libffdecode.so"
 _ff_lib = None
 _ff_tried = False
 
@@ -114,12 +122,10 @@ def _ff_get_lib():
             return _ff_lib
         _ff_tried = True
         try:
-            if not _FF_LIB.exists() or _FF_LIB.stat().st_mtime < _FF_SRC.stat().st_mtime:
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o",
-                     str(_FF_LIB), str(_FF_SRC),
-                     "-lavformat", "-lavcodec", "-lavutil", "-lswresample"],
-                    check=True, capture_output=True)
+            _FF_LIB = _hashed_lib_path(_FF_SRC, "libffdecode")
+            if not _FF_LIB.exists():
+                _build(_FF_SRC, _FF_LIB,
+                       ["-lavformat", "-lavcodec", "-lavutil", "-lswresample"])
             lib = ctypes.CDLL(str(_FF_LIB))
             lib.ffd_decode_alloc.restype = ctypes.c_int
             lib.ffd_decode_alloc.argtypes = [

@@ -63,7 +63,8 @@ class AudioLM(Module):
                  max_coarse_time_steps: int = 512,
                  return_coarse_generated_wave: bool = False,
                  mask_out_generated_fine_tokens: bool = False,
-                 speculative: bool = False, key=None):
+                 speculative: bool = False,
+                 has_padding: "bool | None" = None, key=None):
         # speculative: draft-then-verify multi-quantizer decode in the coarse
         # and fine stages (models/wrappers.py); token-equivalent at
         # temperature->0, measured faster at the reference configs (bench.py
@@ -101,7 +102,7 @@ class AudioLM(Module):
             prime_wave_input_sample_hz=prime_wave_input_sample_hz,
             max_time_steps=max_coarse_time_steps,
             reconstruct_wave=return_coarse_generated_wave,
-            speculative=speculative, key=k2)
+            speculative=speculative, has_padding=has_padding, key=k2)
 
         if return_coarse_generated_wave:
             return coarse_out
@@ -112,5 +113,5 @@ class AudioLM(Module):
             prime_wave_input_sample_hz=prime_wave_input_sample_hz,
             reconstruct_wave=True,
             mask_out_generated_fine_tokens=mask_out_generated_fine_tokens,
-            speculative=speculative, key=k3)
+            speculative=speculative, has_padding=has_padding, key=k3)
         return generated_wave

@@ -193,11 +193,23 @@ class HubertWithKmeans(Module):
         # conv stack stride product = 320 @16 kHz -> 50 Hz (reference :88-90)
         return 320
 
-    def load_fairseq_checkpoint(self, path):
+    def load_fairseq_checkpoint(self, path, *, allow_pickle: bool = False):
         """Convert a fairseq HuBERT torch checkpoint's state_dict (no fairseq
-        import needed — torch-cpu deserializes, keys are mapped by name)."""
+        import needed — torch-cpu deserializes, keys are mapped by name).
+
+        TRUST NOTE (ADVICE r3): weights_only=False unpickles arbitrary
+        objects; it is gated behind an explicit allow_pickle=True opt-in —
+        safe weights-only archives load without it."""
         import torch
-        ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
+        try:
+            ckpt = torch.load(str(path), map_location="cpu", weights_only=True)
+        except Exception as e:
+            if not allow_pickle:
+                raise RuntimeError(
+                    f"{path} requires unpickling arbitrary objects. If you "
+                    "trust this file, call load_fairseq_checkpoint(path, "
+                    "allow_pickle=True).") from e
+            ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
         sd = ckpt.get("model", ckpt.get("state_dict", ckpt))
         sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
 

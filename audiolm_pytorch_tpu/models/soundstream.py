@@ -378,6 +378,9 @@ class SoundStream(Module):
         multi_spectral_n_mels: int = 64,
         recon_loss_weight: float = 1.0,
         multi_spectral_recon_loss_weight: float = 1e-5,
+        multi_stft_recon_loss_weight: float = 0.0,
+        multi_stft_resolutions=((128, 32, 128), (512, 128, 512),
+                                (1024, 256, 1024), (2048, 512, 2048)),
         adversarial_loss_weight: float = 1.0,
         feature_loss_weight: float = 100.0,
         quantize_dropout_cutoff_index: int = 1,
@@ -408,6 +411,8 @@ class SoundStream(Module):
                    "enc_cycle_dilations", "dec_cycle_dilations",
                    "multi_spectral_window_powers_of_two"):
             cfg[tk] = tuple(cfg[tk])
+        cfg["multi_stft_resolutions"] = tuple(
+            tuple(r) for r in cfg["multi_stft_resolutions"])
         if cfg["finite_scalar_quantizer_levels"] is not None:
             cfg["finite_scalar_quantizer_levels"] = tuple(cfg["finite_scalar_quantizer_levels"])
         self.configs = tuple(sorted(cfg.items()))
@@ -527,6 +532,8 @@ class SoundStream(Module):
         self.compute_dtype = compute_dtype
         self.recon_loss_weight = recon_loss_weight
         self.multi_spectral_recon_loss_weight = multi_spectral_recon_loss_weight
+        self.multi_stft_recon_loss_weight = multi_stft_recon_loss_weight
+        self.stft_loss_settings = tuple(tuple(r) for r in multi_stft_resolutions)
         self.adversarial_loss_weight = adversarial_loss_weight
         self.feature_loss_weight = feature_loss_weight
 
@@ -615,6 +622,36 @@ class SoundStream(Module):
             total = total + l1 + l2
         return total
 
+    def _multi_stft_loss(self, orig, recon):
+        """Multi-resolution STFT loss with a PHASE-AWARE complex term.
+
+        Round-3 diagnosis (NOTES): the codec's binding error on speech-like
+        clips is pitch-phase tracking — the magnitude envelope is right but
+        the reconstructed harmonic phase drifts, which craters waveform
+        SI-SNR. Waveform MSE alone has pathological phase gradients (for a
+        phase error beyond pi/2 the MSE gradient pushes AWAY from lock), so
+        per resolution we combine:
+          - spectral convergence + log-magnitude L1 (the standard MR-STFT
+            pair, Parallel-WaveGAN style),
+          - an L1 on the COMPLEX spectrum difference, normalized by the
+            reference magnitude: locally linearizes phase error per
+            time-frequency cell, giving a well-conditioned pull toward
+            phase lock at every resolution.
+        The reference's only spectral loss is mel-magnitude (reference
+        soundstream.py:645-672) which is phase-blind; this term is the
+        TPU build's addition (matmul-DFT STFT rides the MXU, ops/stft.py).
+        """
+        total = 0.0
+        for n_fft, hop, win in self.stft_loss_settings:
+            so = stft_op(orig, n_fft, hop, win)
+            sr = stft_op(recon, n_fft, hop, win)
+            mo, mr = jnp.abs(so), jnp.abs(sr)
+            sc = jnp.linalg.norm(mo - mr) / (jnp.linalg.norm(mo) + 1e-8)
+            logmag = jnp.mean(jnp.abs(jnp.log(mo + 1e-5) - jnp.log(mr + 1e-5)))
+            phase = jnp.mean(jnp.abs(so - sr)) / (jnp.mean(mo) + 1e-8)
+            total = total + sc + logmag + phase
+        return total / len(self.stft_loss_settings)
+
     def _discr_logits_and_feats(self, wave):
         """Run all discriminators; returns ([logits...], [intermediates...]) with
         the STFT discriminator first (matching reference ordering of features)."""
@@ -687,6 +724,8 @@ class SoundStream(Module):
         recon_loss = jnp.mean((target - recon32) ** 2)
         multi_spectral_recon_loss = self._multi_mel_loss(target, recon32) \
             if self.multi_spectral_recon_loss_weight > 0 else jnp.asarray(0.0)
+        multi_stft_recon_loss = self._multi_stft_loss(target, recon32) \
+            if self.multi_stft_recon_loss_weight > 0 else jnp.asarray(0.0)
 
         if self.adversarial_loss_weight == 0 and self.feature_loss_weight == 0:
             # pure-reconstruction phase: skip the discriminator forwards
@@ -709,11 +748,13 @@ class SoundStream(Module):
         all_commit = jnp.sum(commit_loss)
         total = (recon_loss * self.recon_loss_weight
                  + multi_spectral_recon_loss * self.multi_spectral_recon_loss_weight
+                 + multi_stft_recon_loss * self.multi_stft_recon_loss_weight
                  + adversarial_loss * self.adversarial_loss_weight
                  + feature_loss * self.feature_loss_weight
                  + all_commit)
         if return_loss_breakdown:
-            return total, (recon_loss, multi_spectral_recon_loss, adversarial_loss,
+            return total, (recon_loss, multi_spectral_recon_loss,
+                           multi_stft_recon_loss, adversarial_loss,
                            feature_loss, all_commit), new_self
         return total, new_self
 

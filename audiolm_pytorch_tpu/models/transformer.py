@@ -252,28 +252,69 @@ class Attention(Module):
 
 
 class HyperConnection(Module):
-    """Static learned hyper-connection wrapping one branch over S residual
-    streams (arXiv:2409.19606; reference: hyper-connections lib at
-    audiolm_pytorch.py:444-455). Init is residual-equivalent: identity stream
-    mixing, branch reads/writes stream (layer_index % S)."""
+    """Dynamic hyper-connection wrapping one branch over S residual streams
+    (arXiv:2409.19606; reference: hyper-connections lib at
+    audiolm_pytorch.py:444-455).
 
-    def __init__(self, *, dim: int, num_streams: int, layer_index: int):
+    Static init is the paper's residual-equivalent one: the branch reads
+    stream (layer_index % S), stream mixing is identity, and the branch
+    output is written to ALL streams (beta = ones) — with expand-by-copy and
+    reduce-by-sum the streams stay identical at init, and the final
+    scale-invariant LayerNorm makes the S-stream net equal the plain
+    residual net. The dynamic (DHC) components follow the paper:
+    tanh(rmsnorm(x) @ W) * scale, zero-initialized so they contribute
+    nothing at init and are learned during training.
+    Validated at S=4 against a faithful torch oracle of the same math
+    (tests/test_reference_parity.py)."""
+
+    def __init__(self, *, dim: int, num_streams: int, layer_index: int,
+                 dynamic: bool = True):
         s = num_streams
         onehot = jnp.zeros((s,)).at[layer_index % s].set(1.0)
-        self.alpha_in = onehot  # branch input weights over streams
-        self.alpha_mix = jnp.eye(s)  # stream-to-stream mixing
-        self.beta = onehot  # branch output distribution over streams
+        self.alpha_in = onehot  # static branch-read weights over streams
+        self.alpha_mix = jnp.eye(s)  # static stream-to-stream mixing
+        self.beta = jnp.ones((s,))  # static write: ALL streams (paper init)
+        if dynamic:
+            self.dyn_alpha_w = jnp.zeros((dim, s + 1))
+            self.dyn_alpha_scale = jnp.asarray(1e-2)
+            self.dyn_beta_w = jnp.zeros((dim,))
+            self.dyn_beta_scale = jnp.asarray(1e-2)
+        else:
+            self.dyn_alpha_w = None
+            self.dyn_alpha_scale = None
+            self.dyn_beta_w = None
+            self.dyn_beta_scale = None
         self.num_streams = s
 
     def __call__(self, streams, branch_fn):
         """streams: (S, B, N, D)."""
-        branch_in = jnp.einsum("s,sbnd->bnd", self.alpha_in.astype(streams.dtype), streams)
-        mixed = jnp.einsum("st,sbnd->tbnd", self.alpha_mix.astype(streams.dtype), streams)
+        dt = streams.dtype
+        a_in = self.alpha_in.astype(dt)      # (S,)
+        a_mix = self.alpha_mix.astype(dt)    # (S, T)
+        beta = self.beta.astype(dt)          # (S,)
+        if self.dyn_alpha_w is not None:
+            xf = streams.astype(jnp.float32)
+            xbar = xf * jax.lax.rsqrt(
+                jnp.mean(xf * xf, -1, keepdims=True) + 1e-6)
+            dyn_a = (jnp.tanh(xbar @ self.dyn_alpha_w.astype(jnp.float32))
+                     * self.dyn_alpha_scale).astype(dt)  # (S, B, N, S+1)
+            dyn_b = (jnp.tanh(xbar @ self.dyn_beta_w.astype(jnp.float32))
+                     * self.dyn_beta_scale).astype(dt)   # (S, B, N)
+            branch_in = jnp.einsum("sbn,sbnd->bnd",
+                                   a_in[:, None, None] + dyn_a[..., 0], streams)
+            mixed = jnp.einsum("sbnt,sbnd->tbnd",
+                               a_mix[:, None, None, :] + dyn_a[..., 1:], streams)
+            beta_eff = beta[:, None, None] + dyn_b       # (S, B, N)
+        else:
+            branch_in = jnp.einsum("s,sbnd->bnd", a_in, streams)
+            mixed = jnp.einsum("st,sbnd->tbnd", a_mix, streams)
+            beta_eff = jnp.broadcast_to(beta[:, None, None],
+                                        (self.num_streams, *streams.shape[1:3]))
         out = branch_fn(branch_in)
         rest = None
         if isinstance(out, tuple):
             out, *rest = out
-        streams = mixed + self.beta.astype(streams.dtype)[:, None, None, None] * out[None]
+        streams = mixed + beta_eff[..., None] * out[None]
         if rest:
             return (streams, *rest)
         return streams

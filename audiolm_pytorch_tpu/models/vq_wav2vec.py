@@ -133,6 +133,7 @@ class FairseqVQWav2Vec(Module):
                  combine_groups: bool = False, skip_connections: bool = False,
                  residual_scale: float = 0.5, log_compression: bool = False,
                  seq_len_multiple_of: Optional[int] = None,
+                 allow_pickle: bool = False,
                  key: Optional[jax.Array] = None):
         key = key if key is not None else jax.random.PRNGKey(0)
         self._build(conv_spec, codebook_size, num_groups, combine_groups, key)
@@ -143,7 +144,8 @@ class FairseqVQWav2Vec(Module):
         self.seq_len_multiple_of = seq_len_multiple_of
         self.pretrained = False
         if exists(checkpoint_path):
-            self.load_fairseq_checkpoint(checkpoint_path)
+            self.load_fairseq_checkpoint(checkpoint_path,
+                                         allow_pickle=allow_pickle)
 
     def _build(self, conv_spec, codebook_size, num_groups, combine_groups, key):
         conv_spec = tuple(tuple(s) for s in conv_spec)
@@ -176,18 +178,27 @@ class FairseqVQWav2Vec(Module):
     def codebook_size(self):
         return self.vq.num_vars
 
-    def load_fairseq_checkpoint(self, path):
+    def load_fairseq_checkpoint(self, path, *, allow_pickle: bool = False):
         """Load a fairseq vq-wav2vec checkpoint.
 
-        TRUST NOTE: fairseq checkpoints store their `args` as a pickled
-        argparse.Namespace, so full loading requires weights_only=False —
-        which executes arbitrary pickled code. We try the safe
-        weights_only=True first and only fall back for the args object;
-        only load checkpoints from sources you trust (ADVICE r2)."""
+        TRUST NOTE (ADVICE r3): real fairseq checkpoints always carry a
+        pickled argparse.Namespace in `args`, so weights_only=True fails on
+        every one of them and an automatic fallback would silently run
+        arbitrary pickled code for malicious files too. The unsafe path is
+        therefore gated behind an EXPLICIT opt-in: pass allow_pickle=True
+        only for checkpoints from sources you trust. Without it, loading
+        still works for safe (weights-only) archives and otherwise raises
+        with a clear message instead of auto-degrading."""
         import torch
         try:
             ckpt = torch.load(str(path), map_location="cpu", weights_only=True)
-        except Exception:
+        except Exception as e:
+            if not allow_pickle:
+                raise RuntimeError(
+                    f"{path} requires unpickling arbitrary objects (fairseq "
+                    "stores args as a pickled Namespace). If you trust this "
+                    "file, call load_fairseq_checkpoint(path, "
+                    "allow_pickle=True).") from e
             ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
         args = ckpt.get("args")
         sd = ckpt.get("model", ckpt.get("state_dict", ckpt))

@@ -124,7 +124,13 @@ class StreamingCodecEncoder:
         self.context = int(math.ceil((attn_lb if context_frames is None
                                       else context_frames) / align) * align)
         self.pad_frames = int(math.ceil(conv_lb / self.ds))
-        self.chunk = chunk_frames
+        # chunk is rounded UP to the attention-window alignment so that in
+        # steady state every _encode window has the SAME length
+        # (pad + context + chunk): one compiled shape, however irregular the
+        # push sizes (ADVICE r3 — variable windows triggered a fresh XLA
+        # compile per distinct length). Warm-up (emitted < context) passes
+        # through at most context/chunk distinct shapes, each compiled once.
+        self.chunk = int(math.ceil(chunk_frames / align) * align)
         self._wave = None    # (B, n) buffered recent raw samples
         self._base = 0       # absolute FRAME index of self._wave[:, 0]
         self._emitted = 0    # frames already emitted
@@ -167,10 +173,18 @@ class StreamingCodecEncoder:
         return self._emit(self.buffered_frames)
 
     def _emit(self, upto: int):
+        """Emit frames up to `upto`, one fixed-size chunk per _encode call
+        (bounded jit-compile count; see __init__ chunk note)."""
         if upto <= self._emitted:
             b = 1 if self._wave is None else self._wave.shape[0]
             return np.zeros((self.codec.rq_groups, b, 0,
                              self.codec.rq.num_quantizers), np.int32)
+        outs = []
+        while self._emitted < upto:
+            outs.append(self._emit_one(min(self._emitted + self.chunk, upto)))
+        return np.concatenate(outs, axis=2)
+
+    def _emit_one(self, upto: int):
         start = max(0, self._emitted - self.context)
         start = (start // self.align) * self.align  # attention-bucket aligned
         conv_start = max(0, start - self.pad_frames)

@@ -467,10 +467,10 @@ class SoundStreamTrainer(_TrainerBase):
         else:
             d_loss = 0.0
 
-        recon, mel, adv, feat, commit = (float(x) for x in bd)
+        recon, mel, mstft, adv, feat, commit = (float(x) for x in bd)
         logs = dict(loss=float(g_loss), recon_loss=recon, multi_spectral=mel,
-                    adversarial=adv, feature_loss=feat, commit=commit,
-                    discr_loss=float(d_loss))
+                    multi_stft=mstft, adversarial=adv, feature_loss=feat,
+                    commit=commit, discr_loss=float(d_loss))
         self.metrics.log(self.steps, **logs)
         self.steps += 1
 

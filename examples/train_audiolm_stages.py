@@ -91,7 +91,16 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--skip-train", action="store_true",
                     help="resume checkpoints and only generate")
+    ap.add_argument("--stages", default="semantic,coarse,fine,generate",
+                    help="comma-separated subset of semantic,coarse,fine,"
+                         "generate — lets independent stages run on different "
+                         "hosts (e.g. semantic on CPU while the codec trains "
+                         "on TPU); stages not listed are loaded from their "
+                         "latest checkpoint when needed")
     args = ap.parse_args()
+    stages = set(args.stages.split(","))
+    if args.skip_train:
+        stages = {"generate"}
 
     import jax
     if args.cpu:
@@ -108,15 +117,18 @@ def main():
     out.mkdir(parents=True, exist_ok=True)
     data = Path(args.data)
 
-    # 1. trained codec (EMA weights preferred by SoundStream.load)
-    ckpt = args.codec_ckpt
-    if ckpt is None:
-        cands = sorted(Path("results_quality/results").glob("soundstream.*.ckpt.npz"),
-                       key=lambda p: int(p.stem.split(".")[1]))
-        assert cands, "no codec checkpoint found — run train_codec_corpus.py first"
-        ckpt = cands[-1]
-    codec = build_codec(jax).load(ckpt)
-    print(f"codec loaded from {ckpt}", flush=True)
+    # 1. trained codec (EMA weights preferred by SoundStream.load) — only
+    # needed by the acoustic stages; the semantic stage can run without it
+    codec = None
+    if stages & {"coarse", "fine", "generate"}:
+        ckpt = args.codec_ckpt
+        if ckpt is None:
+            cands = sorted(Path("results_quality/results").glob("soundstream.*.ckpt.npz"),
+                           key=lambda p: int(p.stem.split(".")[1]))
+            assert cands, "no codec checkpoint found — run train_codec_corpus.py first"
+            ckpt = cands[-1]
+        codec = build_codec(jax).load(ckpt)
+        print(f"codec loaded from {ckpt}", flush=True)
 
     # 2. semantic tokenizer: small HuBERT + corpus-fitted kmeans
     w2v = HubertWithKmeans(dim=256, num_layers=3, heads=4, output_layer=3,
@@ -168,29 +180,35 @@ def main():
                     f.write(json.dumps(row) + "\n")
         return trainer.wrapper.transformer
 
-    if not args.skip_train:
+    def load_latest(name, m, required):
+        cks = sorted((out / name).glob("*.ckpt.npz"),
+                     key=lambda p: int(p.stem.split(".")[-2]))
+        if not cks:
+            assert not required, f"no checkpoint for {name}"
+            return m
+        return m.load(cks[-1])
+
+    if "semantic" in stages:
         semantic = run_stage("semantic", SemanticTransformerTrainer(
             semantic, w2v, results_folder=str(out / "semantic"),
             **trainer_kw))
+    else:
+        semantic = load_latest("semantic", semantic, "generate" in stages)
+    if "coarse" in stages:
         coarse = run_stage("coarse", CoarseTransformerTrainer(
             coarse, codec=codec, wav2vec=w2v,
             results_folder=str(out / "coarse"), **trainer_kw))
+    else:
+        coarse = load_latest("coarse", coarse, "generate" in stages)
+    if "fine" in stages:
         fine = run_stage("fine", FineTransformerTrainer(
             fine, codec=codec, results_folder=str(out / "fine"),
             **trainer_kw))
     else:
-        from audiolm_pytorch_tpu.models.lm import _load_lm  # noqa
-        for name, m in (("semantic", semantic), ("coarse", coarse), ("fine", fine)):
-            cks = sorted((out / name).glob("*.ckpt.npz"),
-                         key=lambda p: int(p.stem.split(".")[-2]))
-            assert cks, f"no checkpoint for {name}"
-            m = m.load(cks[-1])
-            if name == "semantic":
-                semantic = m
-            elif name == "coarse":
-                coarse = m
-            else:
-                fine = m
+        fine = load_latest("fine", fine, "generate" in stages)
+
+    if "generate" not in stages:
+        return
 
     # 4. end-to-end generation through the trained chain
     audiolm = AudioLM(wav2vec=w2v, codec=codec, semantic_transformer=semantic,

@@ -97,20 +97,81 @@ def install_stubs():
                     return (out[0] + x, *out[1:])
                 return out + x
 
+        class _HyperConnection(nn.Module):
+            """Faithful n-stream hyper-connection oracle (arXiv:2409.19606,
+            the paper the reference pins): static residual-equivalent init
+            (branch reads stream layer_index%S, identity mixing, branch
+            output written to ALL streams) plus zero-initialized dynamic
+            alpha/beta = tanh(rmsnorm(x) @ W) * scale. Streams are carried
+            as (S, B, N, D); expand copies, reduce sums (the final
+            scale-invariant LayerNorm restores residual equivalence)."""
+
+            def __init__(self, branch, dim, num_streams, layer_index):
+                super().__init__()
+                import torch as _t
+                self.branch = branch
+                s = num_streams
+                onehot = _t.zeros(s)
+                onehot[layer_index % s] = 1.0
+                self.alpha_in = nn.Parameter(onehot.clone())
+                self.alpha_mix = nn.Parameter(_t.eye(s))
+                self.beta = nn.Parameter(_t.ones(s))
+                self.dyn_alpha_w = nn.Parameter(_t.zeros(dim, s + 1))
+                self.dyn_alpha_scale = nn.Parameter(_t.tensor(1e-2))
+                self.dyn_beta_w = nn.Parameter(_t.zeros(dim))
+                self.dyn_beta_scale = nn.Parameter(_t.tensor(1e-2))
+
+            def forward(self, streams, *a, **k):
+                import torch as _t
+                xbar = streams * _t.rsqrt(
+                    streams.pow(2).mean(-1, keepdim=True) + 1e-6)
+                dyn_a = _t.tanh(xbar @ self.dyn_alpha_w) * self.dyn_alpha_scale
+                dyn_b = _t.tanh(xbar @ self.dyn_beta_w) * self.dyn_beta_scale
+                a_in = self.alpha_in[:, None, None] + dyn_a[..., 0]
+                branch_in = _t.einsum("sbn,sbnd->bnd", a_in, streams)
+                mix = self.alpha_mix[:, None, None, :] + dyn_a[..., 1:]
+                mixed = _t.einsum("sbnt,sbnd->tbnd", mix, streams)
+                beta = self.beta[:, None, None] + dyn_b
+                out = self.branch(branch_in, *a, **k)
+                rest = None
+                if isinstance(out, tuple):
+                    out, *rest = out
+                streams = mixed + beta[..., None] * out[None]
+                if rest:
+                    return (streams, *rest)
+                return streams
+
+        class _Expand(nn.Module):
+            def __init__(self, n):
+                super().__init__()
+                self.n = n
+
+            def forward(self, x):
+                return x[None].expand(self.n, *x.shape).contiguous()
+
+        class _Reduce(nn.Module):
+            def forward(self, streams):
+                return streams.sum(0)
+
         def get_init_and_expand_reduce_stream_functions(n, disable=False):
-            assert disable, (
-                "parity stub supports only num_residual_streams=1 "
-                "(the real hyper-connections lib is not in this image)")
+            if disable:
+                def init_hyper_conn(*, dim, branch):
+                    return _Residual(branch)
+
+                ident = nn.Identity()
+                return init_hyper_conn, ident, ident
+
+            counter = iter(range(10 ** 6))
 
             def init_hyper_conn(*, dim, branch):
-                return _Residual(branch)
+                return _HyperConnection(branch, dim, n, next(counter))
 
-            ident = nn.Identity()
-            return init_hyper_conn, ident, ident
+            return init_hyper_conn, _Expand(n), _Reduce()
 
         m.get_init_and_expand_reduce_stream_functions = \
             get_init_and_expand_reduce_stream_functions
         m.Residual = _Residual
+        m.HyperConnection = _HyperConnection
 
     if "torchaudio" not in sys.modules:
         m = _new_module("torchaudio")

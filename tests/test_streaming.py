@@ -153,3 +153,29 @@ def test_streaming_encode_buffer_is_bounded_and_roundtrips():
     wave = np.concatenate([dec.push(stream), dec.flush()], axis=-1)
     offline = np.asarray(codec.decode_from_codebook_indices(jnp.asarray(full)))
     np.testing.assert_array_equal(wave, offline)
+
+
+def test_streaming_encode_bounded_compile_count():
+    """Irregular push sizes must NOT grow the jitted-shape set without bound:
+    in steady state every _encode window is pad+context+chunk frames — one
+    compiled shape (ADVICE r3)."""
+    codec = tiny_soundstream()
+    enc = StreamingCodecEncoder(codec, chunk_frames=8)
+    ds = codec.seq_len_multiple_of
+    rng = np.random.default_rng(0)
+    x = 0.3 * rng.standard_normal((1, 400 * ds)).astype(np.float32)
+    full = np.asarray(codec.tokenize(jnp.asarray(x)))
+    outs, i = [], 0
+    while i < x.shape[1]:
+        step = int(rng.integers(1, 30)) * ds + int(rng.integers(0, ds))
+        outs.append(enc.push(x[:, i:i + step]))
+        i += step
+    outs.append(enc.flush())
+    stream = np.concatenate(outs, axis=2)
+    np.testing.assert_array_equal(stream, full)
+    # warm-up passes through <= (context+pad)/chunk clamped-start shapes,
+    # then ONE steady-state shape, plus at most one flush-tail shape — the
+    # count must NOT grow with the number of (irregular) pushes
+    warmup = (enc.context + enc.pad_frames) // enc.chunk + 2
+    n_shapes = enc._encode._cache_size()
+    assert n_shapes <= warmup + 2, (n_shapes, warmup)

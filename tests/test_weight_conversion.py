@@ -263,7 +263,7 @@ def test_vq_wav2vec_conversion_against_torch(tmp_path):
     path = tmp_path / "vq_wav2vec_kmeans.pt"
     torch.save({"args": args, "model": ref.state_dict()}, path)
 
-    ours = FairseqVQWav2Vec(str(path), key=KEY)
+    ours = FairseqVQWav2Vec(str(path), allow_pickle=True, key=KEY)
     assert ours.pretrained and ours.codebook_size == 12
     assert ours.downsample_factor == 10 and ours.groups == 2
 
