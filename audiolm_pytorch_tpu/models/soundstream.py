@@ -381,6 +381,7 @@ class SoundStream(Module):
         multi_stft_recon_loss_weight: float = 0.0,
         multi_stft_resolutions=((128, 32, 128), (512, 128, 512),
                                 (1024, 256, 1024), (2048, 512, 2048)),
+        multi_stft_term_weights=(1.0, 1.0, 1.0),
         adversarial_loss_weight: float = 1.0,
         feature_loss_weight: float = 100.0,
         quantize_dropout_cutoff_index: int = 1,
@@ -413,6 +414,7 @@ class SoundStream(Module):
             cfg[tk] = tuple(cfg[tk])
         cfg["multi_stft_resolutions"] = tuple(
             tuple(r) for r in cfg["multi_stft_resolutions"])
+        cfg["multi_stft_term_weights"] = tuple(cfg["multi_stft_term_weights"])
         if cfg["finite_scalar_quantizer_levels"] is not None:
             cfg["finite_scalar_quantizer_levels"] = tuple(cfg["finite_scalar_quantizer_levels"])
         self.configs = tuple(sorted(cfg.items()))
@@ -534,6 +536,7 @@ class SoundStream(Module):
         self.multi_spectral_recon_loss_weight = multi_spectral_recon_loss_weight
         self.multi_stft_recon_loss_weight = multi_stft_recon_loss_weight
         self.stft_loss_settings = tuple(tuple(r) for r in multi_stft_resolutions)
+        self.stft_term_weights = tuple(multi_stft_term_weights)
         self.adversarial_loss_weight = adversarial_loss_weight
         self.feature_loss_weight = feature_loss_weight
 
@@ -641,15 +644,28 @@ class SoundStream(Module):
         soundstream.py:645-672) which is phase-blind; this term is the
         TPU build's addition (matmul-DFT STFT rides the MXU, ops/stft.py).
         """
+        w_sc, w_logmag, w_phase = self.stft_term_weights
         total = 0.0
         for n_fft, hop, win in self.stft_loss_settings:
             so = stft_op(orig, n_fft, hop, win)
             sr = stft_op(recon, n_fft, hop, win)
             mo, mr = jnp.abs(so), jnp.abs(sr)
-            sc = jnp.linalg.norm(mo - mr) / (jnp.linalg.norm(mo) + 1e-8)
-            logmag = jnp.mean(jnp.abs(jnp.log(mo + 1e-5) - jnp.log(mr + 1e-5)))
-            phase = jnp.mean(jnp.abs(so - sr)) / (jnp.mean(mo) + 1e-8)
-            total = total + sc + logmag + phase
+            term = 0.0
+            if w_sc:
+                term += w_sc * jnp.linalg.norm(mo - mr) / \
+                    (jnp.linalg.norm(mo) + 1e-8)
+            if w_logmag:
+                term += w_logmag * jnp.mean(
+                    jnp.abs(jnp.log(mo + 1e-5) - jnp.log(mr + 1e-5)))
+            if w_phase:
+                # the COMPLEX difference: the only term that sees phase.
+                # Round-4 training finding: the phase-blind terms above,
+                # weighted equally, create a "right magnitude, uncorrelated
+                # phase" attractor (SI-SNR stuck at -33 dB while mel-distance
+                # improves); the main run uses (0, 0, 1)
+                term += w_phase * jnp.mean(jnp.abs(so - sr)) / \
+                    (jnp.mean(mo) + 1e-8)
+            total = total + term
         return total / len(self.stft_loss_settings)
 
     def _discr_logits_and_feats(self, wave):

@@ -287,7 +287,25 @@ def _build_gen():
         valid_frames = float(jnp.sum(jnp.all(co != -1, axis=-1)))
         return valid_frames / float(frame_hz), dt
 
+    def spec_acceptance():
+        # draft acceptance rate of the speculative decoder (VERDICT r3 weak
+        # #4): fraction of quantizer codes taken from the one-pass draft
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(4), 3)
+        sem = sem_w.generate(batch_size=1, max_length=frames, key=k1)
+        co, cs = coarse_w.generate(semantic_token_ids=sem,
+                                   max_time_steps=frames,
+                                   reconstruct_wave=False, speculative=True,
+                                   return_spec_stats=True, key=k2)
+        _, fs = fine_w.generate(coarse_token_ids=co, reconstruct_wave=False,
+                                speculative=True, return_spec_stats=True,
+                                key=k3)
+        tot_acc = int(cs["accepted"]) + int(fs["accepted"])
+        tot_max = (int(cs["steps"]) * cs["num_q"]
+                   + int(fs["steps"]) * fs["num_q"])
+        return tot_acc / max(tot_max, 1)
+
     _SHARED["gen_time_run"] = time_run
+    _SHARED["gen_spec_acceptance"] = spec_acceptance
 
 
 def bench_gen_3stage():
@@ -310,6 +328,8 @@ def bench_gen_3stage_spec():
         _build_gen()
     spec_audio, spec_dt = _SHARED["gen_time_run"](True)
     OUT["gen_3stage_spec_rtf"] = round(spec_audio / spec_dt, 2)
+    OUT["gen_3stage_spec_acceptance"] = round(
+        _SHARED["gen_spec_acceptance"](), 4)
 
 
 SECTIONS = (
