@@ -499,8 +499,11 @@ class SoundStreamTrainer(_TrainerBase):
     def save(self, path):
         state = {"model": self.model, "gen_opt": self.gen_opt_state,
                  "discr_opt": self.discr_opt_state, "ema": self.ema_state}
+        # embed the constructor config so a model-only persisted copy
+        # (checkpoint.persist_model_from) stays self-describing
         save_pytree(path, state, extra_meta={"steps": self.steps,
-                                             "kind": "SoundStreamTrainer"})
+                                             "kind": "SoundStreamTrainer",
+                                             "config": dict(self.model.configs)})
         self.metrics.save_artifact(path)
         self.print(f"saved checkpoint to {path}")
 
@@ -680,7 +683,10 @@ class _TransformerTrainerBase(_TrainerBase):
 
     def save(self, path):
         state = {"model": self.wrapper.transformer, "opt": self.opt_state}
-        save_pytree(path, state, extra_meta={"steps": self.steps, "kind": self.name})
+        save_pytree(path, state,
+                    extra_meta={"steps": self.steps, "kind": self.name,
+                                "config": dict(getattr(
+                                    self.wrapper.transformer, "configs", ()))})
         self.metrics.save_artifact(path)
         self.print(f"saved checkpoint to {path}")
 

@@ -361,6 +361,10 @@ def main():
 
     signal.signal(signal.SIGTERM, on_signal)
     signal.signal(signal.SIGINT, on_signal)
+    ready = os.environ.get("BENCH_READY_FILE")
+    if ready:  # test handshake: signal handlers are now installed
+        with open(ready, "w") as f:
+            f.write("ready")
 
     w = threading.Thread(target=_worker, daemon=True)
     w.start()

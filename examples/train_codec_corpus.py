@@ -128,6 +128,7 @@ def main():
     ap.add_argument("--stft-weight", type=float, default=0.0, help="multi-resolution complex-STFT (phase-aware) recon weight — round-4 lever for the pitch-phase tracking error on speech clips")
     ap.add_argument("--stft-terms", default="1,1,1", help="comma weights for the (spectral-convergence, log-magnitude, complex/phase) terms; the phase-blind first two can create a magnitude-only attractor early in training")
     ap.add_argument("--dead-code-threshold", type=float, default=0.25, help="0 disables dead-code expiry entirely (with batch*frames << codebook_size ANY nonzero threshold reseeds the sub-threshold majority of codes EVERY step: a reseeded code gets cluster_size=threshold, decays below it next step, and is reseeded again - permanent codebook churn)")
+    ap.add_argument("--channels", type=int, default=32, help="encoder/decoder base width (reference default 32; round-3 diagnosis: the autoencoder, not the quantizer, is the capacity bottleneck)")
     ap.add_argument("--resume", default=None, help="'latest' or a checkpoint path; loads model+opts+ema before training")
     ap.add_argument("--cosine", action="store_true", help="cosine LR decay to 0 over --steps")
     ap.add_argument("--curve", default="quality_curve.jsonl", help="curve filename under --out")
@@ -155,7 +156,7 @@ def main():
     # discriminators keep the game balanced; all generator defaults stay at
     # reference values (soundstream.py:351-420).
     ss = SoundStream(
-        channels=32, strides=(2, 4, 5, 8), channel_mults=(2, 4, 8, 16),
+        channels=args.channels, strides=(2, 4, 5, 8), channel_mults=(2, 4, 8, 16),
         codebook_dim=512, codebook_size=1024, rq_num_quantizers=8,
         attn_window_size=64, attn_heads=8, attn_dim_head=64,
         multi_scale_discr_kwargs=dict(channels=8, layers=3, groups=(1, 2, 4),
@@ -206,6 +207,11 @@ def main():
     def eval_model(model, x):
         recon = model(x, return_recons_only=True)
         return si_snr(recon, x), recon
+
+    # record the run config in the curve file — the round-3→4 VM wipe showed
+    # that an unrecorded command line makes a curve unreproducible
+    with open(out / args.curve, "a") as f:
+        f.write(json.dumps({"run_args": vars(args)}) + "\n")
 
     curve = []
     t0 = time.time()

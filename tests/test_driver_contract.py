@@ -71,11 +71,24 @@ def test_dryrun_parent_survives_hung_backend(monkeypatch):
 def _run_bench(env_extra, sig_after=None, timeout=120):
     env = dict(os.environ)
     env.update(env_extra)
+    ready = None
+    if sig_after is not None:
+        # handshake: wait until bench has installed its signal handlers —
+        # on this saturated single-core host interpreter startup alone can
+        # exceed any fixed sleep, and a SIGTERM before the handler exists
+        # kills the process with default action (observed suite flake)
+        import tempfile
+        ready = Path(tempfile.mkdtemp()) / "bench_ready"
+        env["BENCH_READY_FILE"] = str(ready)
     proc = subprocess.Popen(
         [sys.executable, str(ROOT / "bench.py")],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         env=env, cwd=ROOT)
     if sig_after is not None:
+        deadline = time.time() + 90
+        while not ready.exists() and time.time() < deadline \
+                and proc.poll() is None:
+            time.sleep(0.1)
         time.sleep(sig_after)
         proc.send_signal(signal.SIGTERM)
     out, err = proc.communicate(timeout=timeout)

@@ -1,0 +1,70 @@
+"""Committable model-only checkpoint persistence (round-4).
+
+A VM restart between rounds wiped every gitignored trainer checkpoint (the
+72k-step codec, the trained 3-stage chain). These tests pin the recovery
+path: bf16+compressed save/load roundtrips, and `persist_model_from`
+extracting a model subtree from a trainer checkpoint into a standalone
+artifact loadable with `load_pytree_into(path, model)`.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from audiolm_pytorch_tpu.training.checkpoint import (
+    load_pytree_into, persist_model_from, save_pytree)
+
+
+def _tree():
+    rng = np.random.default_rng(0)
+    return {
+        "w": jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32)),
+        "b": jnp.asarray(rng.normal(size=(8,)).astype(np.float32)),
+        "steps": jnp.asarray(123, dtype=jnp.int32),
+    }
+
+
+def test_bf16_compressed_roundtrip(tmp_path):
+    tree = _tree()
+    p32 = tmp_path / "fp32.npz"
+    pbf = tmp_path / "bf16.npz"
+    save_pytree(p32, tree)
+    save_pytree(pbf, tree, bf16=True, compress=True)
+    assert pbf.stat().st_size < p32.stat().st_size
+    back = load_pytree_into(pbf, tree)
+    # bf16 has ~3 decimal digits; weights stay within cast tolerance
+    np.testing.assert_allclose(np.asarray(back["w"]), np.asarray(tree["w"]),
+                               atol=1e-2, rtol=1e-2)
+    assert int(back["steps"]) == 123  # ints pass through exactly
+
+
+def test_persist_model_from_trainer_ckpt(tmp_path):
+    model = _tree()
+    state = {"model": model, "opt": {"mu": jnp.zeros((16, 8))}}
+    full = tmp_path / "trainer.ckpt.npz"
+    save_pytree(full, state, extra_meta={"kind": "demo", "steps": 7,
+                                         "config": {"dim": 8}})
+    small = tmp_path / "model_only.npz"
+    persist_model_from(full, small, prefix="['model']")
+    assert small.stat().st_size < full.stat().st_size
+    back = load_pytree_into(small, model)  # re-rooted: loads directly
+    np.testing.assert_allclose(np.asarray(back["w"]), np.asarray(model["w"]),
+                               atol=1e-2, rtol=1e-2)
+    # metadata (incl. config) carries through for self-description
+    import json
+    with np.load(small) as data:
+        meta = json.loads(bytes(data["__meta__"].tobytes()).decode())
+    assert meta["config"] == {"dim": 8} and meta["kind"] == "demo"
+    with pytest.raises(ValueError):
+        persist_model_from(full, small, prefix="['nope']")
+
+
+def test_persist_roundtrips_already_bf16(tmp_path):
+    tree = {"w": jnp.asarray(np.ones((4, 4)), dtype=jnp.bfloat16)}
+    state = {"model": tree}
+    full = tmp_path / "bf16_trainer.npz"
+    save_pytree(full, state)  # bf16 leaves auto bit-viewed
+    small = tmp_path / "bf16_model.npz"
+    persist_model_from(full, small)
+    back = load_pytree_into(small, tree)
+    assert back["w"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(back["w"], dtype=np.float32), 1.0)
