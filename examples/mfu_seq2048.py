@@ -34,7 +34,15 @@ def main():
     ap.add_argument("--seq", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--remat", default="both", choices=("both", "on", "off"),
+                    help="restrict the matrix (each combo is a 5-20 min "
+                         "fresh XLA compile over the tunnel)")
+    ap.add_argument("--flash", default="both", choices=("both", "on", "off"))
     args = ap.parse_args()
+    remat_opts = {"both": (False, True), "on": (True,),
+                  "off": (False,)}[args.remat]
+    flash_opts = {"both": (True, False), "on": (True,),
+                  "off": (False,)}[args.flash]
 
     import jax
     if args.cpu:
@@ -108,8 +116,8 @@ def main():
         key = jax.random.PRNGKey(2)
         tokens = b * args.seq
         flops = 6.0 * n_params * tokens + 12.0 * depth * dim * tokens * args.seq
-        for remat in (False, True):
-            for flash in (True, False):
+        for remat in remat_opts:
+            for flash in flash_opts:
                 try:
                     step = build_step(remat, flash)
                     dt = measure(lambda p, o, i, k: step(p, o, i, k),

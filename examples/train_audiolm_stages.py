@@ -31,11 +31,23 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 SR = 16000
 
 
-def build_codec(jax):
-    """Exact architecture from examples/train_codec_corpus.py."""
+def build_codec(jax, ckpt=None, channels=32):
+    """Architecture from examples/train_codec_corpus.py. Prefers the config
+    embedded in the checkpoint (round-4 trainer ckpts are self-describing);
+    falls back to the run defaults + --codec-channels for older ckpts."""
     from audiolm_pytorch_tpu import SoundStream
+    if ckpt is not None:
+        import json as _json
+        with np.load(ckpt) as d:
+            meta = _json.loads(bytes(d["__meta__"].tobytes()).decode())
+        cfg = meta.get("config") or {}
+        if cfg:
+            cfg = {k: (tuple(v) if isinstance(v, list) else v)
+                   for k, v in cfg.items()}
+            cfg["compute_dtype"] = "bfloat16"
+            return SoundStream(**cfg, key=jax.random.PRNGKey(0))
     return SoundStream(
-        channels=32, strides=(2, 4, 5, 8), channel_mults=(2, 4, 8, 16),
+        channels=channels, strides=(2, 4, 5, 8), channel_mults=(2, 4, 8, 16),
         codebook_dim=512, codebook_size=1024, rq_num_quantizers=8,
         attn_window_size=64, attn_heads=8, attn_dim_head=64,
         multi_scale_discr_kwargs=dict(channels=8, layers=3, groups=(1, 2, 4),
@@ -80,6 +92,8 @@ def main():
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--codec-ckpt", default=None,
                     help="default: newest soundstream ckpt in results_quality/results")
+    ap.add_argument("--codec-channels", type=int, default=32,
+                    help="fallback width for ckpts without embedded config")
     ap.add_argument("--data", default="results_quality/data")
     ap.add_argument("--out", default="results_quality/audiolm")
     ap.add_argument("--batch", type=int, default=4)
@@ -127,7 +141,8 @@ def main():
                            key=lambda p: int(p.stem.split(".")[1]))
             assert cands, "no codec checkpoint found — run train_codec_corpus.py first"
             ckpt = cands[-1]
-        codec = build_codec(jax).load(ckpt)
+        codec = build_codec(jax, ckpt=ckpt,
+                            channels=args.codec_channels).load(ckpt)
         print(f"codec loaded from {ckpt}", flush=True)
 
     # 2. semantic tokenizer: small HuBERT + corpus-fitted kmeans
