@@ -227,8 +227,11 @@ def bench_lm_train():
 
 
 def bench_lm_train_seq2048():
-    # same token count, flash+fused-dbias active (reference max_length=2048)
-    _lm_measure(2, 2048, "lm_train_seq2048_")
+    # flash+fused-dbias active (reference max_length=2048). Batch 8: the
+    # round-4 MFU matrix (results_quality/mfu_seq2048.jsonl) showed b2
+    # underutilizes (10.2%) vs b8 (14.7%) before the scatter-free rel-pos
+    # expand; b8 + toeplitz_expand is the production long-seq config.
+    _lm_measure(8, 2048, "lm_train_seq2048_")
 
 
 def _build_gen():

@@ -95,3 +95,28 @@ def test_grads_flow():
           if hasattr(x, "shape")]
     assert all(np.isfinite(v) for v in gn)
     assert sum(v > 0 for v in gn) > len(gn) * 0.8  # almost all params get grads
+
+
+def test_toeplitz_expand_matches_gather():
+    """The scatter-free Toeplitz expansion must be numerically identical to
+    the straightforward gather formulation (reference rel-pos indexing,
+    audiolm_pytorch.py:236-241) in BOTH directions."""
+    from audiolm_pytorch_tpu.models.transformer import toeplitz_expand
+
+    def gather_expand(tab, i, j):
+        i_pos = jnp.arange(i) + (j - i)
+        rel = i_pos[:, None] - jnp.arange(j)[None, :] + (j - 1)
+        return tab[rel].transpose(2, 0, 1)
+
+    for i, j, h in [(1, 1, 2), (5, 5, 4), (3, 8, 4), (16, 16, 8), (7, 13, 3)]:
+        tab = jax.random.normal(jax.random.PRNGKey(i * 31 + j), (2 * j - 1, h))
+        want = gather_expand(tab, i, j)
+        got = jax.jit(toeplitz_expand, static_argnums=(1, 2))(tab, i, j)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+        # backward: anti-diagonal sums vs autodiff of the gather (scatter-add)
+        ct = jax.random.normal(jax.random.PRNGKey(j), (h, i, j))
+        g_want = jax.grad(lambda t: jnp.sum(gather_expand(t, i, j) * ct))(tab)
+        g_got = jax.grad(lambda t: jnp.sum(toeplitz_expand(t, i, j) * ct))(tab)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                                   rtol=1e-5, atol=1e-5)
