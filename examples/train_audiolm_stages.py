@@ -102,6 +102,13 @@ def main():
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--gen-seconds", type=float, default=3.0)
+    ap.add_argument("--seconds", type=float, default=1.0,
+                    help="training clip length. Round-3 trained on 1 s crops "
+                         "of the 3 s corpus clips, so semantic learned to "
+                         "emit EOS at ~1 s and generation EOS-truncated at "
+                         "0.9 s; train on the full 3 s for full-length "
+                         "generation (reference trains on full clips, "
+                         "audiolm_pytorch.py:2141-2254)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--skip-train", action="store_true",
                     help="resume checkpoints and only generate")
@@ -173,7 +180,7 @@ def main():
     t0 = time.time()
     trainer_kw = dict(folder=str(data), batch_size=args.batch,
                       grad_accum_every=1, num_train_steps=args.steps,
-                      lr=args.lr, data_max_length=SR,
+                      lr=args.lr, data_max_length=int(SR * args.seconds),
                       save_results_every=250, save_model_every=500,
                       data_parallel=False, bf16_compute=True, valid_frac=0.02)
 
@@ -240,6 +247,39 @@ def main():
     row = dict(stage="generate", audio_seconds=round(secs, 2),
                wall_s=round(dt, 2), rtf=round(secs / dt, 3),
                peak=round(float(np.abs(wave).max()), 4))
+    print(json.dumps(row), flush=True)
+    with open(out / "stages_log.jsonl", "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+    # speculative decode on the TRAINED chain (VERDICT r3 weak #4): the
+    # random-weights bench is acceptance-rate-bound; trained peaked
+    # distributions are the claimed win condition — measure it honestly here
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(11), 3)
+    sem_ids = audiolm.semantic.generate(batch_size=1, max_length=frames, key=k1)
+    co, cs = audiolm.coarse.generate(
+        semantic_token_ids=sem_ids, max_time_steps=frames,
+        reconstruct_wave=False, speculative=True, return_spec_stats=True,
+        key=k2)
+    _, fs = audiolm.fine.generate(
+        coarse_token_ids=co, reconstruct_wave=False, speculative=True,
+        return_spec_stats=True, key=k3)
+    acc = ((int(cs["accepted"]) + int(fs["accepted"]))
+           / max(int(cs["steps"]) * cs["num_q"]
+                 + int(fs["steps"]) * fs["num_q"], 1))
+
+    def timed(spec):
+        best = float("inf")
+        for i in range(3):  # min-of-3 (tunnel jitter, NOTES)
+            t0 = time.time()
+            w = audiolm(batch_size=1, max_length=frames,
+                        max_coarse_time_steps=frames, speculative=spec,
+                        key=jax.random.PRNGKey(20 + i))
+            n = int(np.asarray(w).shape[-1])
+            best = min(best, time.time() - t0)
+        return n / SR / best
+
+    row = dict(stage="spec_bench", acceptance=round(acc, 4),
+               seq_rtf=round(timed(False), 3), spec_rtf=round(timed(True), 3))
     print(json.dumps(row), flush=True)
     with open(out / "stages_log.jsonl", "a") as f:
         f.write(json.dumps(row) + "\n")
