@@ -830,12 +830,17 @@ class SoundStream(Module):
         save_checkpoint(path, self, config=dict(self.configs), version=__version__,
                         kind="SoundStream")
 
-    def load(self, path):
+    def load(self, path, prefer_ema=True):
         """Return a new module with weights from `path` — accepts bare-model,
         trainer, and EMA-bearing trainer checkpoints, preferring EMA weights
-        like the reference (soundstream.py:745-752)."""
+        like the reference (soundstream.py:745-752). `prefer_ema=False` loads
+        the RAW weights from a trainer checkpoint: through a staged-lr anneal
+        the EMA shadow lags the raw weights by several dB of SI-SNR (round-3/4
+        measured), so mid-anneal snapshots should be consumed raw."""
         from ..training.checkpoint import load_pytree_into
-        for prefix in ("['ema'].shadow", "['model']", ""):
+        prefixes = (("['ema'].shadow", "['model']", "") if prefer_ema
+                    else ("['model']", "['ema'].shadow", ""))
+        for prefix in prefixes:
             try:
                 return load_pytree_into(path, self, prefix=prefix)
             except ValueError:

@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--valid-frac", type=float, default=0.02)
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--ema", action="store_true", help="evaluate the EMA shadow")
+    ap.add_argument("--channels", type=int, default=32,
+                    help="encoder/decoder base width of the checkpoint "
+                         "(round-4 runs use 48)")
     ap.add_argument("--save-samples", type=int, default=0, metavar="N",
                     help="save ref/recon wav pairs for the first N held-out "
                          "speech clips under results_quality/samples/")
@@ -62,7 +65,7 @@ def main():
     ceilings = [m[1] for m in meta]
 
     ss = SoundStream(
-        channels=32, strides=(2, 4, 5, 8), channel_mults=(2, 4, 8, 16),
+        channels=args.channels, strides=(2, 4, 5, 8), channel_mults=(2, 4, 8, 16),
         codebook_dim=512, codebook_size=1024, rq_num_quantizers=8,
         attn_window_size=64, attn_heads=8, attn_dim_head=64,
         multi_scale_discr_kwargs=dict(channels=8, layers=3, groups=(1, 2, 4),

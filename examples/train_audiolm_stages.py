@@ -110,6 +110,10 @@ def main():
                          "generation (reference trains on full clips, "
                          "audiolm_pytorch.py:2141-2254)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--codec-raw", action="store_true",
+                    help="load the codec's RAW trainer weights instead of the "
+                         "EMA shadow (mid-anneal snapshots: EMA lags by "
+                         "several dB — NOTES round-3/4)")
     ap.add_argument("--skip-train", action="store_true",
                     help="resume checkpoints and only generate")
     ap.add_argument("--stages", default="semantic,coarse,fine,generate",
@@ -149,7 +153,8 @@ def main():
             assert cands, "no codec checkpoint found — run train_codec_corpus.py first"
             ckpt = cands[-1]
         codec = build_codec(jax, ckpt=ckpt,
-                            channels=args.codec_channels).load(ckpt)
+                            channels=args.codec_channels).load(
+                                ckpt, prefer_ema=not args.codec_raw)
         print(f"codec loaded from {ckpt}", flush=True)
 
     # 2. semantic tokenizer: small HuBERT + corpus-fitted kmeans

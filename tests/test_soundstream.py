@@ -162,3 +162,30 @@ def test_rq_kwargs_override_dead_code_threshold():
     assert layers[0].threshold_ema_dead_code == 0.25
     # and the config self-persists the override
     assert dict(ss.configs)["rq_kwargs"]["threshold_ema_dead_code"] == 0.25
+
+
+def test_load_prefer_ema_flag(tmp_path):
+    """Trainer checkpoints hold raw + EMA weights; `prefer_ema=False` must
+    pick the RAW subtree (mid-anneal the EMA shadow lags by several dB —
+    NOTES round-3/4; the reference always prefers EMA, soundstream.py:745)."""
+    import jax.tree_util as jtu
+
+    from audiolm_pytorch_tpu.training.checkpoint import save_pytree
+    from audiolm_pytorch_tpu.training.ema import EMAState
+
+    ss = tiny_soundstream()
+    bump = lambda a: a + 1.0 if jnp.issubdtype(a.dtype, jnp.floating) else a
+    ema = jtu.tree_map(bump, ss)
+    p = tmp_path / "trainer.ckpt.npz"
+    save_pytree(p, {"model": ss,
+                    "ema": EMAState(shadow=ema, step=jnp.asarray(5)),
+                    "steps": jnp.asarray(5, jnp.int32)})
+    got_ema = ss.load(p)  # default: EMA preferred (reference semantics)
+    got_raw = ss.load(p, prefer_ema=False)
+    for name, g, e, w in zip(range(10**9), jtu.tree_leaves(got_raw),
+                             jtu.tree_leaves(got_ema), jtu.tree_leaves(ss)):
+        if not jnp.issubdtype(w.dtype, jnp.floating):
+            continue
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(e), np.asarray(w) + 1.0,
+                                   rtol=1e-6)
