@@ -141,7 +141,7 @@ def main():
     from audiolm_pytorch_tpu import SoundStream, SoundStreamTrainer
     from audiolm_pytorch_tpu.data.dataset import SoundDataset
     from audiolm_pytorch_tpu.utils.audio_io import save_audio
-    from audiolm_pytorch_tpu.utils.metrics import mel_distance, si_snr
+    from audiolm_pytorch_tpu.utils.metrics import mel_distance, si_snr, stoi
 
     out = Path(args.out)
     data = out / "data"
@@ -223,7 +223,11 @@ def main():
             snrs, recon = eval_model(trainer.model, val)
             snr = float(jnp.mean(snrs))
             md = float(mel_distance(recon, val, SR))
+            # STOI is the metric the phase-aware loss work targets (round-4
+            # verdict weak #1: the curve never logged it) — host-side numpy
+            st = float(np.mean(stoi(np.asarray(recon), np.asarray(val), SR)))
             row = dict(step=int(trainer.steps), si_snr=round(snr, 3),
+                       stoi=round(st, 4),
                        mel_dist=round(md, 4),
                        recon=round(logs["recon_loss"], 5),
                        g=round(logs["loss"], 3), d=round(logs["discr_loss"], 3),
