@@ -382,6 +382,7 @@ class SoundStream(Module):
         multi_stft_resolutions=((128, 32, 128), (512, 128, 512),
                                 (1024, 256, 1024), (2048, 512, 2048)),
         multi_stft_term_weights=(1.0, 1.0, 1.0),
+        si_snr_loss_weight: float = 0.0,
         adversarial_loss_weight: float = 1.0,
         feature_loss_weight: float = 100.0,
         quantize_dropout_cutoff_index: int = 1,
@@ -535,6 +536,7 @@ class SoundStream(Module):
         self.recon_loss_weight = recon_loss_weight
         self.multi_spectral_recon_loss_weight = multi_spectral_recon_loss_weight
         self.multi_stft_recon_loss_weight = multi_stft_recon_loss_weight
+        self.si_snr_loss_weight = si_snr_loss_weight
         self.stft_loss_settings = tuple(tuple(r) for r in multi_stft_resolutions)
         self.stft_term_weights = tuple(multi_stft_term_weights)
         self.adversarial_loss_weight = adversarial_loss_weight
@@ -742,6 +744,19 @@ class SoundStream(Module):
             if self.multi_spectral_recon_loss_weight > 0 else jnp.asarray(0.0)
         multi_stft_recon_loss = self._multi_stft_loss(target, recon32) \
             if self.multi_stft_recon_loss_weight > 0 else jnp.asarray(0.0)
+        if self.si_snr_loss_weight > 0:
+            # negative per-clip SI-SNR (round 5): the held-out metric is the
+            # per-clip mean of a scale-invariant, phase-sensitive ratio — MSE
+            # is dominated by high-energy clips and tolerates the pitch-phase
+            # drift that SI-SNR punishes (NOTES round-3 diagnosis), so train
+            # on the metric directly. No reference counterpart (the reference
+            # trains MSE + mel only, soundstream.py:927-995).
+            from ..utils.metrics import si_snr as _si_snr
+            b = target.shape[0]
+            si_snr_loss = -jnp.mean(_si_snr(recon32.reshape(b, -1),
+                                            target.reshape(b, -1)))
+        else:
+            si_snr_loss = jnp.asarray(0.0)
 
         if self.adversarial_loss_weight == 0 and self.feature_loss_weight == 0:
             # pure-reconstruction phase: skip the discriminator forwards
@@ -765,13 +780,14 @@ class SoundStream(Module):
         total = (recon_loss * self.recon_loss_weight
                  + multi_spectral_recon_loss * self.multi_spectral_recon_loss_weight
                  + multi_stft_recon_loss * self.multi_stft_recon_loss_weight
+                 + si_snr_loss * self.si_snr_loss_weight
                  + adversarial_loss * self.adversarial_loss_weight
                  + feature_loss * self.feature_loss_weight
                  + all_commit)
         if return_loss_breakdown:
             return total, (recon_loss, multi_spectral_recon_loss,
-                           multi_stft_recon_loss, adversarial_loss,
-                           feature_loss, all_commit), new_self
+                           multi_stft_recon_loss, si_snr_loss,
+                           adversarial_loss, feature_loss, all_commit), new_self
         return total, new_self
 
     def _discr_loss(self, real, fake, apply_grad_penalty, separately):

@@ -54,53 +54,18 @@ def maybe_dropout(x, rate: float, key):
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
-def _toeplitz_expand_impl(tab, i: int, j: int):
-    """(2j-1, H) distance table -> (H, i, j) bias, bias[h,q,k] =
-    tab[(q + j - i) - k + (j - 1), h], built WITHOUT a gather.
-
-    The naive `tab[rel]` gather is cheap forward but its transpose is a
-    33M-element scatter-add into 4095 rows at seq 2048 — XLA lowers that
-    scatter essentially serially on TPU and it dominated the seq-2048 train
-    step (measured 10-15% MFU). This builds the Toeplitz expansion with a
-    pad+flatten+reshape skew (each row of the flattened broadcast shifts by
-    one), so both directions are pure reshapes/reductions the TPU lowers to
-    dense vector ops.
-    """
-    H = tab.shape[1]
-    trev = jnp.flip(tab, axis=0)  # trev[x] = tab[2j-2-x]
-    trev_pad = jnp.concatenate([trev, jnp.zeros((1, H), tab.dtype)], axis=0)
-    y = jnp.broadcast_to(trev_pad[None], (j, 2 * j, H))
-    # flatten + re-chop one element short per row: row q shifts right by q,
-    # so y[q, m] = trev_pad[(m - q) mod 2j]
-    y = y.reshape(j * 2 * j, H)[: j * (2 * j - 1)].reshape(j, 2 * j - 1, H)
-    # B_full[q, k] = y[q, k + j - 1] = trev[k + j - 1 - q] = tab[q - k + j - 1]
-    full = y[:, j - 1:, :]  # (j, j, H)
-    return full[j - i:].transpose(2, 0, 1)
+# re-exported for existing call sites/tests; implementation lives in
+# ops/relpos.py so the pallas flash kernel can share it without a circular
+# import (round 5: per-delta-block bias path)
+from ..ops.relpos import toeplitz_expand  # noqa: E402
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def toeplitz_expand(tab, i: int, j: int):
-    return _toeplitz_expand_impl(tab, i, j)
-
-
-def _toeplitz_expand_fwd(tab, i: int, j: int):
-    return _toeplitz_expand_impl(tab, i, j), None
-
-
-def _toeplitz_expand_bwd(i: int, j: int, _res, g):
-    # exact transpose of the forward ops: no scatter anywhere
-    H = g.shape[0]
-    gq = g.transpose(1, 2, 0)  # (i, j, H)
-    full = jnp.pad(gq, ((j - i, 0), (0, 0), (0, 0)))          # rows [j-i:]
-    dy = jnp.pad(full, ((0, 0), (j - 1, 0), (0, 0)))          # cols [j-1:]
-    flat = dy.reshape(j * (2 * j - 1), H)
-    flat = jnp.pad(flat, ((0, j), (0, 0)))                    # undo the chop
-    dtrev_pad = flat.reshape(j, 2 * j, H).sum(axis=0)         # undo broadcast
-    dtab = jnp.flip(dtrev_pad[: 2 * j - 1], axis=0)
-    return (dtab,)
-
-
-toeplitz_expand.defvjp(_toeplitz_expand_fwd, _toeplitz_expand_bwd)
+class RelPosTable(NamedTuple):
+    """Lazy rel-pos bias: the (2n-1, H) distance table, expanded per-delta
+    inside the flash path (O(L·B) memory) or fully by the math path. Passed
+    through `attn_bias` so Attention can pick the cheapest expansion for the
+    kernel it dispatches to."""
+    tab: jax.Array  # (2n-1, H)
 
 
 class RelativePositionBias(Module):
@@ -273,12 +238,23 @@ class Attention(Module):
             # attend.py:127); only the math path can do that, so a training
             # step with dropout>0 must not silently change semantics
             flash = False
+        bias_tab = None
+        if isinstance(attn_bias, RelPosTable):
+            # lazy rel-pos: the flash kernel expands the table per-delta in
+            # O(L·B); every other path materializes the full bias here
+            assert k.shape[1] == n, "RelPosTable path is plain self-attention"
+            if cache_kv is None and flash:
+                bias_tab = attn_bias.tab
+                attn_bias = None
+            else:
+                attn_bias = toeplitz_expand(attn_bias.tab, n, n)
         if cache_kv is None and flash:
             # pallas flash kernel: O(N) memory, keeps the additive bias
             # (the reference must drop rel-pos bias under flash, attend.py:112)
             from ..ops.pallas.flash_attention import flash_attention
             out = flash_attention(q, k[:, None], v[:, None], bias=attn_bias,
-                                  key_mask=key_mask, causal=causal)
+                                  bias_tab=bias_tab, key_mask=key_mask,
+                                  causal=causal)
         else:
             if cache_kv is None and exists(key_mask):
                 mask = key_mask[:, None, None, :]
@@ -338,17 +314,29 @@ class HyperConnection(Module):
         a_mix = self.alpha_mix.astype(dt)    # (S, T)
         beta = self.beta.astype(dt)          # (S,)
         if self.dyn_alpha_w is not None:
-            xf = streams.astype(jnp.float32)
-            xbar = xf * jax.lax.rsqrt(
-                jnp.mean(xf * xf, -1, keepdims=True) + 1e-6)
-            dyn_a = (jnp.tanh(xbar @ self.dyn_alpha_w.astype(jnp.float32))
-                     * self.dyn_alpha_scale).astype(dt)  # (S, B, N, S+1)
-            dyn_b = (jnp.tanh(xbar @ self.dyn_beta_w.astype(jnp.float32))
-                     * self.dyn_beta_scale).astype(dt)   # (S, B, N)
-            branch_in = jnp.einsum("sbn,sbnd->bnd",
-                                   a_in[:, None, None] + dyn_a[..., 0], streams)
-            mixed = jnp.einsum("sbnt,sbnd->tbnd",
-                               a_mix[:, None, None, :] + dyn_a[..., 1:], streams)
+            s = self.num_streams
+            # rmsnorm statistics in fp32, but NO (S,B,N,D)-sized fp32 tensor is
+            # ever materialized (the round-4 version's fp32 xbar copy cost
+            # ~15 ms of HBM traffic per b8xs512 train step — round-5 MFU fix).
+            # tanh(rmsnorm(x) @ W) == tanh((x @ W) * rsqrt(ms)): the per-
+            # position scalar factors out of the matmul exactly.
+            ms = jnp.mean(jnp.square(streams.astype(jnp.float32)), axis=-1,
+                          keepdims=True)
+            inv = jax.lax.rsqrt(ms + 1e-6)               # (S, B, N, 1) fp32
+            w = jnp.concatenate([self.dyn_alpha_w,
+                                 self.dyn_beta_w[:, None]], axis=1)  # (D, S+2)
+            proj = jnp.einsum("sbnd,dt->sbnt", streams, w.astype(dt),
+                              preferred_element_type=jnp.float32)
+            proj = jnp.tanh(proj * inv)                  # (S, B, N, S+2) fp32
+            dyn_a = (proj[..., : s + 1] * self.dyn_alpha_scale).astype(dt)
+            dyn_b = (proj[..., s + 1] * self.dyn_beta_scale).astype(dt)
+            # one fused pass over the streams for branch input + stream
+            # mixing: output slot 0 is the branch input, slots 1..S the mix
+            coef = jnp.concatenate([
+                (a_in[:, None, None] + dyn_a[..., 0])[..., None],
+                a_mix[:, None, None, :] + dyn_a[..., 1:]], axis=-1)
+            both = jnp.einsum("sbnt,sbnd->tbnd", coef, streams)
+            branch_in, mixed = both[0], both[1:]
             beta_eff = beta[:, None, None] + dyn_b       # (S, B, N)
         else:
             branch_in = jnp.einsum("s,sbnd->bnd", a_in, streams)
@@ -467,7 +455,20 @@ class Transformer(Module):
                            - jnp.arange(max_len)[None, :] + (max_len - 1))
                     rel_bias = tab[idx].transpose(2, 0, 1)  # (H, n, L)
             else:
-                rel_bias = self.rel_pos_bias(n, n)
+                # flash layers expand the table per-delta inside the kernel
+                # path (O(L·B), ops/relpos); materialize the (H, n, n) bias
+                # only when the math path will be taken (mirrors Attention's
+                # dispatch so the expansion isn't repeated per layer)
+                use_tab = False
+                if not self.cond_as_self_attn_prefix and self.layers:
+                    fl = self.layers[0][1].flash
+                    if fl == "auto":
+                        from ..ops.pallas import on_tpu
+                        fl = on_tpu() and n >= _FLASH_AUTO_MIN_SEQ
+                    use_tab = bool(fl) and (self.layers[0][1].dropout == 0.0
+                                            or key is None)
+                rel_bias = (RelPosTable(self.rel_pos_bias.table(n)) if use_tab
+                            else self.rel_pos_bias(n, n))
         else:
             rel_bias = None
 

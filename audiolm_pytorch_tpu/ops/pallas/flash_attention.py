@@ -90,9 +90,12 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, kmask_ref, o_ref, lse_ref,
 
 
 def _flash_bh(q, k, v, bias, kmask, *, causal: bool, scale: float,
-              block_q: int, block_k: int, interpret: bool):
+              block_q: int, block_k: int, interpret: bool,
+              bias_blocks: bool = False):
     """q: (BH, N, D); k, v: (BH, M, D); bias: (Hb, N, M) or None with
     Hb dividing BH (indexed modulo — shared across batch, no broadcast);
+    with bias_blocks=True, bias is (H*(nq+nk-1), BQ, BK) per-delta blocks
+    indexed (head, i - j + nk - 1) — the O(L·B) rel-pos layout (ops/relpos).
     kmask: (Bk, M) int8 or None with Bk dividing BH (indexed by b // h)."""
     bh, n, d = q.shape
     m = k.shape[1]
@@ -109,7 +112,15 @@ def _flash_bh(q, k, v, bias, kmask, *, causal: bool, scale: float,
                      memory_space=pltpu.VMEM),
     ]
     args = [q, k, v]
-    if bias is not None:
+    if bias is not None and bias_blocks:
+        nd = nq + nk - 1
+        hh = bias.shape[0] // nd
+        in_specs.append(pl.BlockSpec(
+            (1, block_q, block_k),
+            lambda b, i, j: ((b % hh) * nd + (i - j + nk - 1), 0, 0),
+            memory_space=pltpu.VMEM))
+        args.append(bias)
+    elif bias is not None:
         hb = bias.shape[0]
         in_specs.append(pl.BlockSpec((1, block_q, block_k),
                                      lambda b, i, j: (b % hb, i, j),
@@ -330,8 +341,61 @@ def _dbias_kernel(q_ref, k_ref, v_ref, lse_ref, delta_ref, g_ref, bias_ref,
         db_ref[0] = db_scratch[:].astype(db_ref.dtype)
 
 
+def _dblocks_kernel(q_ref, k_ref, v_ref, lse_ref, delta_ref, g_ref, bias_ref,
+                    kmask_ref, db_ref, db_scratch, *, causal: bool,
+                    scale: float, block_q: int, block_k: int, nq: int,
+                    nk: int, num_b: int, d0: int):
+    """dbias in per-delta-BLOCK form (round 5): grid (H, n_deltas, nq, B) with
+    (q-block, batch) innermost, so every tile gradient with the same block
+    delta d = qi - kj accumulates into ONE (BQ, BK) scratch and is written
+    once. Output is (H*n_deltas, BQ, BK) — O(L·B), never the (H, N, M) bias.
+    d0 is the first delta index covered (causal grids skip the always-empty
+    above-diagonal deltas)."""
+    dci = pl.program_id(1)
+    p = pl.program_id(2)          # q block index
+    bi = pl.program_id(3)
+    kj = p - (dci + d0) + (nk - 1)  # k block index for this delta
+
+    @pl.when((p == 0) & (bi == 0))
+    def _init():
+        db_scratch[:] = jnp.zeros_like(db_scratch)
+
+    valid = (kj >= 0) & (kj < nk)
+    if causal:
+        valid = valid & (kj * block_k <= p * block_q + block_q - 1)
+
+    @pl.when(valid)
+    def compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        g = g_ref[0].astype(jnp.float32)
+        lse = lse_ref[0]
+        delta = delta_ref[0]
+        s = scale * jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        s = s + bias_ref[0].astype(jnp.float32)
+        if kmask_ref is not None:
+            s = jnp.where(kmask_ref[0, 0][None, :] != 0, s, _NEG_INF)
+        if causal:
+            q_pos = p * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            k_pos = kj * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(k_pos <= q_pos, s, _NEG_INF)
+        p_mat = jnp.exp(s - lse)
+        p_mat = jnp.where(lse > _NEG_INF / 2, p_mat, 0.0)
+        dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        db_scratch[:] += p_mat * (dp - delta)
+
+    @pl.when((p == nq - 1) & (bi == num_b - 1))
+    def _finalize():
+        db_ref[0] = db_scratch[:].astype(db_ref.dtype)
+
+
 def _flash_bwd_fused(q, k, v, bias, key_mask, out, lse, g, *, causal, scale,
-                     block_q, block_k, interpret):
+                     block_q, block_k, interpret, bias_blocks: bool = False):
     """Fully-fused pallas backward: dq then dk/dv kernels (both recomputing P
     blockwise from the saved logsumexp), plus a third dbias kernel when a
     batch-shared (H, N, M) bias needs a gradient. O(N) memory, all matmuls on
@@ -376,11 +440,21 @@ def _flash_bwd_fused(q, k, v, bias, key_mask, out, lse, g, *, causal, scale,
     kmask_f = (key_mask.astype(jnp.int8)[:, None, :]
                if key_mask is not None else None)
     bias_f = None
-    if bias is not None:
+    nd = nq + nk - 1
+    if bias is not None and bias_blocks:
+        # (H, nd, BQ, BK) per-delta blocks: already built for the padded grid
+        bias_f = bias.reshape(h * nd, block_q, block_k)
+    elif bias is not None:
         # batch-shared (H, N, M) bias, fp32 (matches the forward's layout)
         bias_f = jnp.pad(bias, ((0, 0), (0, pad_n), (0, pad_m))) \
             if (pad_n or pad_m) else bias
         bias_f = bias_f.astype(jnp.float32)
+
+    def _blk_spec_dq():  # bias tile for (bb, i, j) grid in per-delta form
+        return pl.BlockSpec(
+            (1, block_q, block_k),
+            lambda bb, i, j: ((bb % h) * nd + (i - j + nk - 1), 0, 0),
+            memory_space=pltpu.VMEM)
 
     # ---- dq pass: grid (BH, nq, nk) ----
     in_specs = [
@@ -399,7 +473,8 @@ def _flash_bwd_fused(q, k, v, bias, key_mask, out, lse, g, *, causal, scale,
     ]
     args = [qf, kf, vf, lsef, deltaf, gf]
     if bias_f is not None:
-        in_specs.append(pl.BlockSpec((1, block_q, block_k),
+        in_specs.append(_blk_spec_dq() if bias_blocks else
+                        pl.BlockSpec((1, block_q, block_k),
                                      lambda bb, i, j: (bb % h, i, j),
                                      memory_space=pltpu.VMEM))
         args.append(bias_f)
@@ -449,7 +524,10 @@ def _flash_bwd_fused(q, k, v, bias, key_mask, out, lse, g, *, causal, scale,
     if bias_f is not None:
         in_specs2.append(pl.BlockSpec(
             (1, block_q, block_k),
-            lambda bb, j, t: ((bb * group + t // nq) % h, t % nq, j),
+            (lambda bb, j, t: (((bb * group + t // nq) % h) * nd
+                              + ((t % nq) - j + nk - 1), 0, 0))
+            if bias_blocks else
+            (lambda bb, j, t: ((bb * group + t // nq) % h, t % nq, j)),
             memory_space=pltpu.VMEM))
         args2.append(bias_f)
     if kmask_f is not None:
@@ -494,6 +572,72 @@ def _flash_bwd_fused(q, k, v, bias, key_mask, out, lse, g, *, causal, scale,
     dv = dv.reshape(b, hk, mp_, d)[:, :, :m]
 
     dbias = None
+    if bias_f is not None and bias_blocks:
+        # ---- per-delta dbias pass: grid (H, n_deltas, nq, B) ----
+        # causal grids only sweep the on/below-diagonal deltas (qi >= kj,
+        # i.e. delta index >= nk-1); the skipped blocks get zero gradient
+        d0 = nk - 1 if causal else 0
+        ndv = nd - d0
+
+        def kjc(dci, p):  # clamped k-block index (skipped steps still fetch)
+            return jnp.clip(p - (dci + d0) + (nk - 1), 0, nk - 1)
+
+        in_specs4 = [
+            pl.BlockSpec((1, block_q, d), lambda hh, dci, p, bi: (bi * h + hh, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d),
+                         lambda hh, dci, p, bi: (bi * hk + hh // group, kjc(dci, p), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d),
+                         lambda hh, dci, p, bi: (bi * hk + hh // group, kjc(dci, p), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda hh, dci, p, bi: (bi * h + hh, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda hh, dci, p, bi: (bi * h + hh, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda hh, dci, p, bi: (bi * h + hh, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, block_k),
+                         lambda hh, dci, p, bi: (hh * nd + dci + d0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args4 = [qf, kf, vf, lsef, deltaf, gf, bias_f]
+        if kmask_f is not None:
+            in_specs4.append(pl.BlockSpec(
+                (1, 1, block_k),
+                lambda hh, dci, p, bi: (bi, 0, kjc(dci, p)),
+                memory_space=pltpu.VMEM))
+            args4.append(kmask_f)
+
+        def dblocks_dispatch(*refs):
+            idx = 7
+            kmask_ref = refs[idx] if kmask_f is not None else None
+            idx += 1 if kmask_f is not None else 0
+            _dblocks_kernel(refs[0], refs[1], refs[2], refs[3], refs[4],
+                            refs[5], refs[6], kmask_ref, refs[idx],
+                            refs[idx + 1], causal=causal, scale=scale,
+                            block_q=block_q, block_k=block_k, nq=nq, nk=nk,
+                            num_b=b, d0=d0)
+
+        dvisited = pl.pallas_call(
+            dblocks_dispatch,
+            grid=(h, ndv, nq, b),
+            in_specs=in_specs4,
+            out_specs=pl.BlockSpec((1, block_q, block_k),
+                                   lambda hh, dci, p, bi: (hh * ndv + dci, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((h * ndv, block_q, block_k),
+                                           jnp.float32),
+            scratch_shapes=[pltpu.VMEM((block_q, block_k), jnp.float32)],
+            interpret=interpret,
+        )(*args4)
+        dvisited = dvisited.reshape(h, ndv, block_q, block_k)
+        if d0:
+            dvisited = jnp.concatenate(
+                [jnp.zeros((h, d0, block_q, block_k), jnp.float32), dvisited],
+                axis=1)
+        dbias = dvisited  # (H, nd, BQ, BK) — caller's per-delta layout
+        return dq, dk, dv, dbias
     if bias_f is not None:
         # ---- dbias pass: grid (H, nq, nk, B), batch innermost ----
         in_specs3 = [
@@ -656,28 +800,30 @@ def _flash_bwd_chunked(q, k, v, bias, key_mask, out, lse, g, *, causal, scale,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_vjp_fn(causal, scale, block_q, block_k, interpret, has_bias, has_kmask):
+def _make_vjp_fn(causal, scale, block_q, block_k, interpret, has_bias,
+                 has_kmask, bias_blocks=False):
     @jax.custom_vjp
     def f(q, k, v, bias, key_mask):
         return _flash_forward(q, k, v, bias=bias, key_mask=key_mask,
                               causal=causal, scale=scale, block_q=block_q,
-                              block_k=block_k, interpret=interpret)
+                              block_k=block_k, interpret=interpret,
+                              bias_blocks=bias_blocks)
 
     def fwd(q, k, v, bias, key_mask):
         out, lse = _flash_forward(q, k, v, bias=bias, key_mask=key_mask,
                                   causal=causal, scale=scale, block_q=block_q,
                                   block_k=block_k, interpret=interpret,
-                                  return_lse=True)
+                                  return_lse=True, bias_blocks=bias_blocks)
         return out, (q, k, v, bias, key_mask, out, lse)
 
     def bwd(res, g):
         q, k, v, bias, key_mask, out, lse = res
-        if bias is None or bias.ndim == 3:
+        if bias is None or bias.ndim == 3 or bias_blocks:
             # fully-fused pallas dq + dkv (+ dbias for batch-shared bias)
             dq, dk, dv, dbias = _flash_bwd_fused(
                 q, k, v, bias, key_mask, out, lse, g, causal=causal,
                 scale=scale, block_q=block_q, block_k=block_k,
-                interpret=interpret)
+                interpret=interpret, bias_blocks=bias_blocks)
             if dbias is not None:
                 dbias = dbias.astype(bias.dtype)
             return dq, dk, dv, dbias, None
@@ -691,11 +837,18 @@ def _make_vjp_fn(causal, scale, block_q, block_k, interpret, has_bias, has_kmask
     return f
 
 
-def flash_attention(q, k, v, *, bias=None, key_mask=None, causal: bool = False,
-                    scale: float | None = None, block_q: int = 512,
-                    block_k: int = 512, interpret: bool | None = None):
+def flash_attention(q, k, v, *, bias=None, bias_tab=None, key_mask=None,
+                    causal: bool = False, scale: float | None = None,
+                    block_q: int = 512, block_k: int = 512,
+                    interpret: bool | None = None):
     """Differentiable entry: pallas forward + fused pallas backward
     (custom VJP; chunked XLA backward when a bias gradient is needed).
+
+    `bias_tab` (round 5): the (2N-1, H) rel-pos distance table instead of a
+    materialized bias. Expanded to O(L·B) per-delta blocks (ops/relpos) that
+    the kernels index by `q_block - k_block`; the (H, N, M) bias (134 MB fp32
+    at 2k ctx, plus 2x transients in its scatter-free expansion) never exists
+    in HBM, in either direction. Requires square self-attention (N == M).
 
     Default block 512: measured fwd+bwd at seq 2048 (b8 h8 d128, v5e-class
     chip, fetch-timed) — block 128: 21.5 ms, 256: 10.5 ms, 512: 7.1 ms vs
@@ -706,6 +859,21 @@ def flash_attention(q, k, v, *, bias=None, key_mask=None, causal: bool = False,
     if interpret is None:
         from . import on_tpu
         interpret = not on_tpu()
+    if bias_tab is not None:
+        assert bias is None, "pass bias or bias_tab, not both"
+        n, m = q.shape[2], k.shape[2]
+        assert n == m, "bias_tab needs square self-attention"
+        bq = min(block_q, max(16, 1 << (n - 1).bit_length()))
+        bk = min(block_k, max(16, 1 << (m - 1).bit_length()))
+        assert bq == bk, "per-delta blocks need square tiles"
+        nq = pl.cdiv(n + ((-n) % bq), bq)
+        from ..relpos import delta_bias_blocks
+        # built OUTSIDE the custom_vjp: AD carries the per-delta block
+        # gradient back to the table through slices and skews automatically
+        bias = delta_bias_blocks(bias_tab, n, nq, nq, bq)
+        fn = _make_vjp_fn(causal, float(scale), block_q, block_k, interpret,
+                          True, key_mask is not None, bias_blocks=True)
+        return fn(q, k, v, bias, key_mask)
     fn = _make_vjp_fn(causal, float(scale), block_q, block_k, interpret,
                       bias is not None, key_mask is not None)
     return fn(q, k, v, bias, key_mask)
@@ -714,7 +882,7 @@ def flash_attention(q, k, v, *, bias=None, key_mask=None, causal: bool = False,
 def _flash_forward(q, k, v, *, bias=None, key_mask=None, causal: bool = False,
                    scale: float | None = None, block_q: int = 512,
                    block_k: int = 512, interpret: bool | None = None,
-                   return_lse: bool = False):
+                   return_lse: bool = False, bias_blocks: bool = False):
     """q: (B, H, N, D); k, v: (B, Hk, M, D), Hk in {1, H} (MQA broadcast).
     bias: (H, N, M) or (B, H, N, M) additive. key_mask: (B, M) bool, True=keep.
     Returns (B, H, N, D).
@@ -746,7 +914,11 @@ def _flash_forward(q, k, v, *, bias=None, key_mask=None, causal: bool = False,
     vf = vp.reshape(b * hk, mp_, d)
 
     bias_f = None
-    if bias is not None:
+    if bias is not None and bias_blocks:
+        # (H, nd, BQ, BK) per-delta blocks, already padded-grid sized
+        bias_f = bias.reshape(-1, bias.shape[2], bias.shape[3]) \
+            .astype(jnp.float32)
+    elif bias is not None:
         # keep bias (H, N, M) un-broadcast: the kernel indexes it modulo H,
         # so batch never multiplies HBM traffic
         if bias.ndim == 4:
@@ -765,7 +937,8 @@ def _flash_forward(q, k, v, *, bias=None, key_mask=None, causal: bool = False,
         kmask_f = km.astype(jnp.int8)  # (B, M), kernel indexes by b // h
 
     out, lse = _flash_bh(qf, kf, vf, bias_f, kmask_f, causal=causal, scale=scale,
-                         block_q=block_q, block_k=block_k, interpret=interpret)
+                         block_q=block_q, block_k=block_k, interpret=interpret,
+                         bias_blocks=bias_blocks)
     out = out.reshape(b, h, np_, d)[:, :, :n]
     if return_lse:
         return out, lse.reshape(b, h, np_)[:, :, :n]

@@ -164,6 +164,10 @@ class _TrainerBase:
         self.save_results_every = save_results_every
         self.save_model_every = save_model_every
         self.steps = 0
+        # best-held-out-loss tracking: the banked artifact should be the best
+        # checkpoint, not whatever noisy step training stopped at (the
+        # reference only checkpoints periodically, trainer.py:988-993)
+        self.best_valid = float("inf")
         self.metrics = _MetricWriter(self.results_folder, use_wandb_tracking)
         n_dev = len(jax.devices())
         self.mesh = make_mesh() if (data_parallel and n_dev > 1) else None
@@ -175,8 +179,9 @@ class _TrainerBase:
         """Resume from the newest checkpoint in results_folder, if any —
         recovery story for preempted jobs (the reference requires a manual
         trainer.load(path), SURVEY.md §5 failure-detection note)."""
-        ckpts = sorted(self.results_folder.glob(pattern),
-                       key=checkpoint_num_steps)
+        ckpts = sorted((p for p in self.results_folder.glob(pattern)
+                        if ".best." not in p.name),  # best is quality-picked,
+                       key=checkpoint_num_steps)     # not the newest state
         if not ckpts:
             return False
         self.load(ckpts[-1])
@@ -467,10 +472,10 @@ class SoundStreamTrainer(_TrainerBase):
         else:
             d_loss = 0.0
 
-        recon, mel, mstft, adv, feat, commit = (float(x) for x in bd)
+        recon, mel, mstft, sisnr, adv, feat, commit = (float(x) for x in bd)
         logs = dict(loss=float(g_loss), recon_loss=recon, multi_spectral=mel,
-                    multi_stft=mstft, adversarial=adv, feature_loss=feat,
-                    commit=commit, discr_loss=float(d_loss))
+                    multi_stft=mstft, si_snr_loss=sisnr, adversarial=adv,
+                    feature_loss=feat, commit=commit, discr_loss=float(d_loss))
         self.metrics.log(self.steps, **logs)
         self.steps += 1
 
@@ -673,6 +678,10 @@ class _TransformerTrainerBase(_TrainerBase):
             logs["valid_loss"] = vloss
             self.metrics.log(self.steps, valid_loss=vloss)
             self.print(f"{self.steps}: valid loss {vloss:.4f}")
+            if vloss < self.best_valid:
+                self.best_valid = vloss
+                self.save(self.results_folder /
+                          f"{self.name}.transformer.best.ckpt.npz")
         if self.steps % self.save_model_every == 0:
             barrier("pre-save")
             if self.is_main:
@@ -685,6 +694,7 @@ class _TransformerTrainerBase(_TrainerBase):
         state = {"model": self.wrapper.transformer, "opt": self.opt_state}
         save_pytree(path, state,
                     extra_meta={"steps": self.steps, "kind": self.name,
+                                "best_valid": self.best_valid,
                                 "config": dict(getattr(
                                     self.wrapper.transformer, "configs", ()))})
         self.metrics.save_artifact(path)
@@ -696,6 +706,11 @@ class _TransformerTrainerBase(_TrainerBase):
         self.wrapper = evolve(self.wrapper, transformer=state["model"])
         self.opt_state = state["opt"]
         self.steps = checkpoint_num_steps(path) + 1
+        with np.load(path) as d:  # keep best-valid tracking across resume
+            meta = json.loads(bytes(d["__meta__"].tobytes()).decode())
+        self.best_valid = float(meta.get("best_valid", float("inf")))
+        if ".best." in Path(path).name and "steps" in meta:
+            self.steps = int(meta["steps"]) + 1  # no step count in the name
 
     def generate(self, *args, **kwargs):
         return self.wrapper.generate(*args, **kwargs)

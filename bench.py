@@ -51,11 +51,13 @@ OUT = {
     "value": None,
     "unit": "x_realtime_per_chip",
     "vs_baseline": None,
+    "lm_train_config": None,
     "lm_train_tokens_per_s": None,
     "lm_train_ms_per_step": None,
     "lm_train_model_tflops_per_s": None,
     "lm_train_mfu": None,
     "lm_train_flash_active": None,
+    "lm_train_seq2048_config": None,
     "lm_train_seq2048_tokens_per_s": None,
     "lm_train_seq2048_ms_per_step": None,
     "lm_train_seq2048_model_tflops_per_s": None,
@@ -68,6 +70,9 @@ OUT = {
     "gen_3stage_audio_seconds": None,
     "gen_3stage_wall_seconds": None,
     "gen_3stage_headline_mode": "sequential",
+    "codec_heldout_si_snr_db": None,
+    "codec_heldout_stoi": None,
+    "codec_quality_ckpt": None,
     "bench_sections_completed": [],
     "bench_budget_s": BUDGET_S,
     "bench_elapsed_s": None,
@@ -208,6 +213,9 @@ def _lm_measure(batch, seq, prefix):
     dt = best / iters
     tokens = batch * seq
     flops = 6.0 * n_params * tokens + 12.0 * depth * dim * tokens * seq
+    # ADVICE r4: record the measured config so cross-round comparisons can't
+    # silently mix batch/seq shapes under the same key prefix
+    OUT[f"{prefix}config"] = f"b{batch}xs{seq}"
     OUT[f"{prefix}tokens_per_s"] = round(tokens / dt)
     OUT[f"{prefix}ms_per_step"] = round(dt * 1e3, 2)
     OUT[f"{prefix}model_tflops_per_s"] = round(flops / dt / 1e12, 1)
@@ -232,6 +240,59 @@ def bench_lm_train_seq2048():
     # underutilizes (10.2%) vs b8 (14.7%) before the scatter-free rel-pos
     # expand; b8 + toeplitz_expand is the production long-seq config.
     _lm_measure(8, 2048, "lm_train_seq2048_")
+
+
+def bench_codec_quality():
+    """Held-out SI-SNR/STOI of the newest PERSISTED trained codec (VERDICT r4
+    #6: driver evidence should cover quality, not just speed). The corpus is
+    deterministic — the valid split is re-synthesized by replaying the corpus
+    PRNG (per-clip stream) and the trainer's seed-42 split, so this section
+    needs no gitignored data directory."""
+    import glob
+    import random
+
+    import numpy as np
+
+    cands = sorted(glob.glob("persist/soundstream_*.npz"))
+    if not cands:
+        raise FileNotFoundError("no persisted codec under persist/")
+    path = cands[-1]
+
+    import jax
+    import jax.numpy as jnp
+    from audiolm_pytorch_tpu.models.soundstream import SoundStream
+    from audiolm_pytorch_tpu.utils.metrics import si_snr, stoi
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "examples"))
+    from train_codec_corpus import synth_clip
+
+    n_clips, valid_frac, max_len = 1300, 0.02, 16000
+    idx = list(range(n_clips))
+    random.Random(42).shuffle(idx)  # trainer split (training/trainer.py)
+    valid = set(idx[: max(1, int(n_clips * valid_frac))])
+    rng = np.random.default_rng(0)  # corpus stream (train_codec_corpus)
+    clips = []
+    for i in range(n_clips):
+        c = synth_clip(rng)
+        if i in valid:
+            clips.append(c[:max_len])
+    x = jnp.asarray(np.stack(clips))
+
+    model = SoundStream.init_and_load_from(path)
+    fwd = jax.jit(lambda m, b: m(b, return_recons_only=True))
+    snrs, stois = [], []
+    for i in range(0, x.shape[0], 8):
+        xb = x[i: i + 8]
+        recon = fwd(model, xb)
+        snrs.append(np.asarray(si_snr(recon, xb)))
+        rn = np.asarray(recon)
+        stois.extend(float(stoi(rn[j], np.asarray(xb[j]), 16000))
+                     for j in range(rn.shape[0]))
+    OUT["codec_heldout_si_snr_db"] = round(float(np.mean(
+        np.concatenate(snrs))), 3)
+    OUT["codec_heldout_stoi"] = round(float(np.mean(stois)), 4)
+    OUT["codec_quality_ckpt"] = path
 
 
 def _build_gen():
@@ -339,6 +400,7 @@ SECTIONS = (
     ("codec", bench_codec),
     ("lm_train", bench_lm_train),
     ("gen_3stage", bench_gen_3stage),
+    ("codec_quality", bench_codec_quality),
     ("lm_train_seq2048", bench_lm_train_seq2048),
     ("gen_3stage_spec", bench_gen_3stage_spec),
 )

@@ -40,8 +40,9 @@ def main():
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--ema", action="store_true", help="evaluate the EMA shadow")
     ap.add_argument("--channels", type=int, default=32,
-                    help="encoder/decoder base width of the checkpoint "
-                         "(round-4 runs use 48)")
+                    help="fallback encoder/decoder base width for legacy "
+                         "checkpoints without an embedded config (newer "
+                         "trainer ckpts are self-describing — ADVICE r4)")
     ap.add_argument("--save-samples", type=int, default=0, metavar="N",
                     help="save ref/recon wav pairs for the first N held-out "
                          "speech clips under results_quality/samples/")
@@ -64,15 +65,10 @@ def main():
     labels = [m[0] for m in meta]
     ceilings = [m[1] for m in meta]
 
-    ss = SoundStream(
-        channels=args.channels, strides=(2, 4, 5, 8), channel_mults=(2, 4, 8, 16),
-        codebook_dim=512, codebook_size=1024, rq_num_quantizers=8,
-        attn_window_size=64, attn_heads=8, attn_dim_head=64,
-        multi_scale_discr_kwargs=dict(channels=8, layers=3, groups=(1, 2, 4),
-                                      chan_max=64),
-        complex_stft_discr_kwargs=dict(channels=8),
-        rq_kwargs=dict(threshold_ema_dead_code=0.25),
-        key=jax.random.PRNGKey(0))
+    # prefer the config embedded in the checkpoint (self-describing trainer
+    # ckpts, round 4); fall back to --channels for legacy artifacts
+    from examples.train_audiolm_stages import build_codec
+    ss = build_codec(jax, ckpt=args.ckpt, channels=args.channels)
     trainer = SoundStreamTrainer(
         ss, folder=args.data, batch_size=8, grad_accum_every=1,
         data_max_length=args.max_length, num_train_steps=1,

@@ -118,7 +118,7 @@ def main():
                     help="resume checkpoints and only generate")
     ap.add_argument("--stages", default="semantic,coarse,fine,generate",
                     help="comma-separated subset of semantic,coarse,fine,"
-                         "generate — lets independent stages run on different "
+                         "generate,spec_bench — lets independent stages run on different "
                          "hosts (e.g. semantic on CPU while the codec trains "
                          "on TPU); stages not listed are loaded from their "
                          "latest checkpoint when needed")
@@ -205,10 +205,17 @@ def main():
                 print(json.dumps(row), flush=True)
                 with open(out / "stages_log.jsonl", "a") as f:
                     f.write(json.dumps(row) + "\n")
-        return trainer.wrapper.transformer
+        # hand the chain the best-valid weights, not the (noisy) last step
+        best = trainer.results_folder / f"{trainer.name}.transformer.best.ckpt.npz"
+        m = trainer.wrapper.transformer
+        return m.load(best) if best.exists() else m
 
     def load_latest(name, m, required):
-        cks = sorted((out / name).glob("*.ckpt.npz"),
+        best = out / name / f"{name}.transformer.best.ckpt.npz"
+        if best.exists():  # quality-picked over newest (VERDICT r4 #8)
+            return m.load(best)
+        cks = sorted((p for p in (out / name).glob("*.ckpt.npz")
+                      if ".best." not in p.name),
                      key=lambda p: int(p.stem.split(".")[-2]))
         if not cks:
             assert not required, f"no checkpoint for {name}"
@@ -258,7 +265,11 @@ def main():
 
     # speculative decode on the TRAINED chain (VERDICT r3 weak #4): the
     # random-weights bench is acceptance-rate-bound; trained peaked
-    # distributions are the claimed win condition — measure it honestly here
+    # distributions are the claimed win condition — measure it honestly here.
+    # Opt-in via --stages ...,spec_bench: it adds six full-chain generations
+    # plus a stats pass, which is expensive over the tunnel (ADVICE r4).
+    if "spec_bench" not in stages:
+        return
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(11), 3)
     sem_ids = audiolm.semantic.generate(batch_size=1, max_length=frames, key=k1)
     co, cs = audiolm.coarse.generate(

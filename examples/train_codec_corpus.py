@@ -126,6 +126,11 @@ def main():
     ap.add_argument("--no-rotation", action="store_true", help="plain STE instead of the rotation trick (see NOTES: with degenerate early codes the per-vector rotation scrambles the recon gradient direction and the commit loss collapses the encoder)")
     ap.add_argument("--mel-weight", type=float, default=1e-5, help="multi-scale mel recon weight (reference default 1e-5 is effectively off)")
     ap.add_argument("--stft-weight", type=float, default=0.0, help="multi-resolution complex-STFT (phase-aware) recon weight — round-4 lever for the pitch-phase tracking error on speech clips")
+    ap.add_argument("--si-snr-weight", type=float, default=0.0,
+                    help="negative per-clip SI-SNR loss weight — round-5 "
+                         "lever: trains the scale-invariant, phase-sensitive "
+                         "held-out metric directly (MSE is energy-weighted "
+                         "and phase-tolerant; NOTES r3 diagnosis)")
     ap.add_argument("--stft-terms", default="1,1,1", help="comma weights for the (spectral-convergence, log-magnitude, complex/phase) terms; the phase-blind first two can create a magnitude-only attractor early in training")
     ap.add_argument("--dead-code-threshold", type=float, default=0.25, help="0 disables dead-code expiry entirely (with batch*frames << codebook_size ANY nonzero threshold reseeds the sub-threshold majority of codes EVERY step: a reseeded code gets cluster_size=threshold, decays below it next step, and is reseeded again - permanent codebook churn)")
     ap.add_argument("--channels", type=int, default=32, help="encoder/decoder base width (reference default 32; round-3 diagnosis: the autoencoder, not the quantizer, is the capacity bottleneck)")
@@ -175,6 +180,7 @@ def main():
         multi_stft_recon_loss_weight=args.stft_weight,
         multi_stft_term_weights=tuple(float(x) for x in
                                       args.stft_terms.split(",")),
+        si_snr_loss_weight=args.si_snr_weight,
         # batch*frames (400/step) < codebook_size (1024): the reference's
         # threshold_ema_dead_code=2.0 then re-seeds most codes every step
         # (measured: 12 unique codes across 8 quantizers after 4k steps,

@@ -175,3 +175,62 @@ def test_per_batch_bias_grad_chunked_fallback():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2,
                                    atol=1e-3)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.parametrize("mqa", [True, False])
+def test_bias_tab_per_delta_blocks(causal, mqa):
+    """Round-5 O(L*B) rel-pos path: passing the (2N-1, H) distance TABLE
+    (bias_tab=) must match the math path fed the materialized toeplitz bias,
+    in value AND in the gradient w.r.t. the table — without the (H, N, M)
+    bias ever being built (per-delta blocks + the _dblocks_kernel grid)."""
+    from audiolm_pytorch_tpu.ops.relpos import toeplitz_expand
+
+    n = 48
+    q, k, v = make_qkv(n=n, m=n, mqa=mqa)
+    tab = 0.3 * jax.random.normal(jax.random.PRNGKey(9), (2 * n - 1, 4))
+    mask = jnp.ones((2, n), bool).at[1, 40:].set(False)
+
+    def loss_flash(q, k, v, tab):
+        return jnp.sum(flash_attention(q, k, v, bias_tab=tab, key_mask=mask,
+                                       causal=causal, block_q=16,
+                                       block_k=16) ** 2)
+
+    def loss_math(q, k, v, tab):
+        bias = toeplitz_expand(tab, n, n)
+        return jnp.sum(attend(q, k, v, attn_bias=bias,
+                              mask=mask[:, None, None, :], causal=causal) ** 2)
+
+    o1 = loss_flash(q, k, v, tab)
+    o2 = loss_math(q, k, v, tab)
+    np.testing.assert_allclose(float(o1), float(o2), rtol=2e-3)
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, tab)
+    g2 = jax.grad(loss_math, argnums=(0, 1, 2, 3))(q, k, v, tab)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2,
+                                   atol=1e-3)
+
+
+def test_bias_tab_unaligned_lengths():
+    """Per-delta blocks with n not a multiple of the block size: padded
+    positions must not contaminate values or the table gradient."""
+    from audiolm_pytorch_tpu.ops.relpos import toeplitz_expand
+
+    n = 50
+    q, k, v = make_qkv(n=n, m=n)
+    tab = 0.3 * jax.random.normal(jax.random.PRNGKey(10), (2 * n - 1, 4))
+
+    def loss_flash(q, k, v, tab):
+        return jnp.sum(flash_attention(q, k, v, bias_tab=tab, causal=True,
+                                       block_q=16, block_k=16) ** 2)
+
+    def loss_math(q, k, v, tab):
+        bias = toeplitz_expand(tab, n, n)
+        return jnp.sum(attend(q, k, v, attn_bias=bias, causal=True) ** 2)
+
+    np.testing.assert_allclose(float(loss_flash(q, k, v, tab)),
+                               float(loss_math(q, k, v, tab)), rtol=2e-3)
+    g1 = jax.grad(loss_flash, argnums=3)(q, k, v, tab)
+    g2 = jax.grad(loss_math, argnums=3)(q, k, v, tab)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-2,
+                               atol=1e-3)

@@ -76,7 +76,7 @@ def test_gen_loss_and_grads():
     total, breakdown, new_ss = ss(x, key=jax.random.PRNGKey(5), train=True,
                                   return_loss_breakdown=True)
     assert jnp.isfinite(total)
-    recon, mel, mstft, adv, feat, commit = breakdown
+    recon, mel, mstft, sisnr, adv, feat, commit = breakdown
     assert all(jnp.isfinite(v) for v in breakdown)
     # rq EMA state updated
     assert bool(new_ss.rq.rvqs[0].layers[0].initted.value)

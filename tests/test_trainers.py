@@ -74,6 +74,40 @@ def test_resume_latest(sine_folder, tmp_path, tiny_wav2vec):
     assert trainer2.steps == 2
 
 
+def test_best_valid_checkpoint(sine_folder, tmp_path, tiny_wav2vec):
+    """A `.best.ckpt.npz` is written whenever the valid loss improves, is
+    excluded from resume_latest (it is quality-picked, not the newest state),
+    and restores its best_valid + step metadata (VERDICT r4 #8)."""
+    st = SemanticTransformer(num_semantic_tokens=tiny_wav2vec.codebook_size,
+                             dim=32, depth=1, heads=2, dim_head=16,
+                             num_residual_streams=1, key=KEY)
+
+    def make(folder):
+        return SemanticTransformerTrainer(
+            st, tiny_wav2vec, folder=str(sine_folder), batch_size=2,
+            grad_accum_every=1, num_train_steps=4, data_max_length=2048,
+            save_results_every=1, save_model_every=3,
+            results_folder=str(folder), data_parallel=False)
+
+    trainer = make(tmp_path / "results")
+    for _ in range(3):
+        trainer.train_step()
+    best = tmp_path / "results" / "semantic.transformer.best.ckpt.npz"
+    assert best.exists()
+    assert np.isfinite(trainer.best_valid)
+    # resume_latest picks the newest NUMBERED checkpoint, not best...
+    trainer2 = make(tmp_path / "results")
+    assert trainer2.resume_latest()
+    assert trainer2.steps == 4
+    # ...but carries best_valid forward so tracking continues across resume
+    assert trainer2.best_valid == trainer.best_valid
+    # loading the best checkpoint restores its own (meta) step count
+    trainer3 = make(tmp_path / "results2")
+    trainer3.load(best)
+    assert trainer3.best_valid == trainer.best_valid
+    assert trainer3.steps >= 1
+
+
 def test_semantic_trainer(sine_folder, tmp_path, tiny_wav2vec):
     st = SemanticTransformer(num_semantic_tokens=tiny_wav2vec.codebook_size,
                              dim=32, depth=1, heads=2, dim_head=16,
