@@ -135,6 +135,12 @@ def main():
     ap.add_argument("--dead-code-threshold", type=float, default=0.25, help="0 disables dead-code expiry entirely (with batch*frames << codebook_size ANY nonzero threshold reseeds the sub-threshold majority of codes EVERY step: a reseeded code gets cluster_size=threshold, decays below it next step, and is reseeded again - permanent codebook churn)")
     ap.add_argument("--channels", type=int, default=32, help="encoder/decoder base width (reference default 32; round-3 diagnosis: the autoencoder, not the quantizer, is the capacity bottleneck)")
     ap.add_argument("--resume", default=None, help="'latest' or a checkpoint path; loads model+opts+ema before training")
+    ap.add_argument("--init-model", default=None,
+                    help="model-only persisted npz (tools/persist_ckpt.py "
+                         "output) to initialize weights from — the recovery "
+                         "path after a VM wipe where only persist/ survives; "
+                         "optimizer/EMA start fresh, step counter resumes "
+                         "from the artifact's recorded step")
     ap.add_argument("--cosine", action="store_true", help="cosine LR decay to 0 over --steps")
     ap.add_argument("--curve", default="quality_curve.jsonl", help="curve filename under --out")
     args = ap.parse_args()
@@ -204,6 +210,17 @@ def main():
         trainer.resume_latest()
     elif args.resume:
         trainer.load(Path(args.resume))
+    if args.init_model:
+        from audiolm_pytorch_tpu.training.checkpoint import load_pytree_into
+        from audiolm_pytorch_tpu.training.ema import ema_init
+        meta = json.loads(bytes(np.load(args.init_model)["__meta__"]
+                                .tobytes()).decode())
+        trainer.model = load_pytree_into(args.init_model, trainer.model)
+        if trainer.ema_state is not None:
+            trainer.ema_state = ema_init(trainer.model)
+        trainer.steps = int(meta.get("steps", 0) or 0)
+        print(f"initialized model from {args.init_model} "
+              f"(step {trainer.steps}); fresh optimizer/EMA", flush=True)
 
     # fixed held-out eval batch
     val_items = [trainer.valid_ds[i] for i in range(min(8, len(trainer.valid_ds)))]
