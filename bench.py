@@ -57,6 +57,12 @@ OUT = {
     "lm_train_model_tflops_per_s": None,
     "lm_train_mfu": None,
     "lm_train_flash_active": None,
+    "lm_train_plainres_config": None,
+    "lm_train_plainres_tokens_per_s": None,
+    "lm_train_plainres_ms_per_step": None,
+    "lm_train_plainres_model_tflops_per_s": None,
+    "lm_train_plainres_mfu": None,
+    "lm_train_plainres_flash_active": None,
     "lm_train_seq2048_config": None,
     "lm_train_seq2048_tokens_per_s": None,
     "lm_train_seq2048_ms_per_step": None,
@@ -157,7 +163,7 @@ def bench_codec():
     OUT["vs_baseline"] = round(rtf / 50.0, 3)
 
 
-def _lm_measure(batch, seq, prefix):
+def _lm_measure(batch, seq, prefix, streams=4):
     import jax
     import jax.numpy as jnp
     import optax
@@ -169,15 +175,18 @@ def _lm_measure(batch, seq, prefix):
     from audiolm_pytorch_tpu.ops.pallas import on_tpu
 
     dim, depth = 1024, 6
-    if "lm" not in _SHARED:
+    cache_key = f"lm_s{streams}"
+    if cache_key not in _SHARED:
         model = SemanticTransformer(dim=dim, depth=depth, heads=8,
                                     num_semantic_tokens=500,
+                                    num_residual_streams=streams,
                                     key=jax.random.PRNGKey(0))
         wrapper = SemanticTransformerWrapper(transformer=model)
         params, rest = partition_trainable(wrapper)
         tx = optax.adam(1e-4)
-        _SHARED["lm"] = (params, rest, tx, tx.init(params), tree_size(params))
-    params, rest, tx, opt_state0, n_params = _SHARED["lm"]
+        _SHARED[cache_key] = (params, rest, tx, tx.init(params),
+                              tree_size(params))
+    params, rest, tx, opt_state0, n_params = _SHARED[cache_key]
     peak = BF16_PEAK_FLOPS.get(jax.devices()[0].device_kind)
 
     ids = jax.random.randint(jax.random.PRNGKey(1), (batch, seq), 0, 500)
@@ -215,7 +224,7 @@ def _lm_measure(batch, seq, prefix):
     flops = 6.0 * n_params * tokens + 12.0 * depth * dim * tokens * seq
     # ADVICE r4: record the measured config so cross-round comparisons can't
     # silently mix batch/seq shapes under the same key prefix
-    OUT[f"{prefix}config"] = f"b{batch}xs{seq}"
+    OUT[f"{prefix}config"] = f"b{batch}xs{seq}xstreams{streams}"
     OUT[f"{prefix}tokens_per_s"] = round(tokens / dt)
     OUT[f"{prefix}ms_per_step"] = round(dt * 1e3, 2)
     OUT[f"{prefix}model_tflops_per_s"] = round(flops / dt / 1e12, 1)
@@ -232,6 +241,15 @@ def _lm_measure(batch, seq, prefix):
 def bench_lm_train():
     # reference README config (math path: faster than flash below crossover)
     _lm_measure(8, 512, "lm_train_")
+
+
+def bench_lm_train_plainres():
+    # streams=1 (plain residual) at the headline b8xs512 shape: the
+    # like-for-like row vs rounds <=3, whose "4-stream" hyper-connections
+    # were effectively pass-through before the round-4 paper-faithful
+    # rewrite (BASELINE.md round-5 root-cause note). Runs LAST so it can
+    # only consume leftover budget.
+    _lm_measure(8, 512, "lm_train_plainres_", streams=1)
 
 
 def bench_lm_train_seq2048():
@@ -403,6 +421,7 @@ SECTIONS = (
     ("codec_quality", bench_codec_quality),
     ("lm_train_seq2048", bench_lm_train_seq2048),
     ("gen_3stage_spec", bench_gen_3stage_spec),
+    ("lm_train_plainres", bench_lm_train_plainres),
 )
 
 
