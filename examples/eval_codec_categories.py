@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--valid-frac", type=float, default=0.02)
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--ema", action="store_true", help="evaluate the EMA shadow")
+    ap.add_argument("--both", action="store_true",
+                    help="evaluate raw AND EMA weights in one process — the "
+                         "jitted forward takes the model as an argument, so "
+                         "the second pass reuses the compiled executable "
+                         "(a fresh process pays 5-20 min TPU compile)")
     ap.add_argument("--channels", type=int, default=32,
                     help="fallback encoder/decoder base width for legacy "
                          "checkpoints without an embedded config (newer "
@@ -76,8 +81,6 @@ def main():
         results_folder="results_quality/results", use_ema=True,
         bf16_compute=True, data_parallel=False, valid_frac=args.valid_frac)
     trainer.load(Path(args.ckpt))
-    model = (trainer.ema_state.shadow
-             if args.ema and trainer.ema_state is not None else trainer.model)
 
     # replay the trainer's deterministic valid split over the sorted file list
     n = len(trainer.ds) + len(trainer.valid_ds)
@@ -86,44 +89,58 @@ def main():
     valid_idx = idx[: max(1, int(n * args.valid_frac))]
 
     fwd = jax.jit(lambda m, x: m(x, return_recons_only=True))
-    by_cat = defaultdict(list)
-    rows = []
-    saved = 0
     if args.save_samples:
         from audiolm_pytorch_tpu.utils.audio_io import save_audio
         samples_dir = Path("results_quality/samples")
         samples_dir.mkdir(parents=True, exist_ok=True)
-    for j in range(len(trainer.valid_ds)):
-        x = trainer.valid_ds[j][: args.max_length]
-        xj = jnp.asarray(x)[None]
-        recon = fwd(model, xj)
-        snr = float(si_snr(recon, xj)[0])
-        st = stoi(np.asarray(recon[0]), np.asarray(x), SR)
-        lab = labels[valid_idx[j]]
-        by_cat[lab].append(snr)
-        rows.append((valid_idx[j], lab, snr, st, ceilings[valid_idx[j]]))
-        if args.save_samples and lab == "speech" and saved < args.save_samples:
-            save_audio(samples_dir / f"clip{valid_idx[j]:05d}_ref.wav",
-                       np.asarray(x, np.float32), SR)
-            save_audio(samples_dir / f"clip{valid_idx[j]:05d}_recon.wav",
-                       np.asarray(recon[0], np.float32), SR)
-            saved += 1
 
-    print(f"checkpoint: {args.ckpt}  ({'EMA' if args.ema else 'raw'})")
-    for i, lab, snr, st, ceil in rows:
-        c = f"  ceiling={ceil:6.1f}" if ceil is not None else ""
-        print(f"  clip {i:5d} [{lab:6s}] si_snr={snr:7.3f}  stoi={st:.4f}{c}")
-    allv = [s for v in by_cat.values() for s in v]
-    print(f"overall mean si_snr = {np.mean(allv):7.3f}  (n={len(allv)})")
-    for lab in ("speech", "chirp", "chord", "noise"):
-        if by_cat[lab]:
-            print(f"  {lab:6s} mean si_snr = {np.mean(by_cat[lab]):7.3f}  "
-                  f"(n={len(by_cat[lab])})")
-    sp_ceil = [c for _, lab, _, _, c in rows if lab == "speech" and c is not None]
-    if sp_ceil:
-        print(f"  speech breath-noise SI-SNR ceiling: mean "
-              f"{np.mean(sp_ceil):6.1f} dB, min {np.min(sp_ceil):6.1f} "
-              f"(a perfect 4 kbps codec cannot exceed these per clip)")
+    def run_eval(model, tag, save_samples):
+        by_cat = defaultdict(list)
+        rows = []
+        saved = 0
+        for j in range(len(trainer.valid_ds)):
+            x = trainer.valid_ds[j][: args.max_length]
+            xj = jnp.asarray(x)[None]
+            recon = fwd(model, xj)
+            snr = float(si_snr(recon, xj)[0])
+            st = stoi(np.asarray(recon[0]), np.asarray(x), SR)
+            lab = labels[valid_idx[j]]
+            by_cat[lab].append(snr)
+            rows.append((valid_idx[j], lab, snr, st, ceilings[valid_idx[j]]))
+            if save_samples and lab == "speech" and saved < save_samples:
+                save_audio(samples_dir / f"clip{valid_idx[j]:05d}_ref.wav",
+                           np.asarray(x, np.float32), SR)
+                save_audio(samples_dir / f"clip{valid_idx[j]:05d}_recon.wav",
+                           np.asarray(recon[0], np.float32), SR)
+                saved += 1
+
+        print(f"checkpoint: {args.ckpt}  ({tag})")
+        for i, lab, snr, st, ceil in rows:
+            c = f"  ceiling={ceil:6.1f}" if ceil is not None else ""
+            print(f"  clip {i:5d} [{lab:6s}] si_snr={snr:7.3f}  stoi={st:.4f}{c}")
+        allv = [s for v in by_cat.values() for s in v]
+        print(f"overall mean si_snr = {np.mean(allv):7.3f}  (n={len(allv)})")
+        for lab in ("speech", "chirp", "chord", "noise"):
+            if by_cat[lab]:
+                print(f"  {lab:6s} mean si_snr = {np.mean(by_cat[lab]):7.3f}  "
+                      f"(n={len(by_cat[lab])})")
+        sp_ceil = [c for _, lab, _, _, c in rows
+                   if lab == "speech" and c is not None]
+        if sp_ceil:
+            print(f"  speech breath-noise SI-SNR ceiling: mean "
+                  f"{np.mean(sp_ceil):6.1f} dB, min {np.min(sp_ceil):6.1f} "
+                  f"(a perfect 4 kbps codec cannot exceed these per clip)")
+
+    have_ema = trainer.ema_state is not None
+    if args.both:
+        run_eval(trainer.model, "raw", args.save_samples)
+        if have_ema:
+            print()
+            run_eval(trainer.ema_state.shadow, "EMA", 0)
+    else:
+        model = (trainer.ema_state.shadow
+                 if args.ema and have_ema else trainer.model)
+        run_eval(model, "EMA" if args.ema else "raw", args.save_samples)
 
 
 if __name__ == "__main__":
