@@ -110,3 +110,44 @@ def test_persist_roundtrips_already_bf16(tmp_path):
     back = load_pytree_into(small, tree)
     assert back["w"].dtype == jnp.bfloat16
     np.testing.assert_array_equal(np.asarray(back["w"], dtype=np.float32), 1.0)
+
+
+def test_bench_codec_artifact_pick_order():
+    """bench.py's codec_quality section scores sorted(glob)[-1] of
+    persist/soundstream_*.npz. NOTES warns that banking an artifact whose
+    name sorts BEFORE the best one silently demotes the driver's quality
+    evidence. Pin the naming convention's ordering: the bare per-round name
+    sorts before any step-suffixed snapshot ('.' < '_'), and step suffixes
+    order numerically for 2-digit k-counts, across rounds r4 < r5."""
+    names = [
+        "persist/soundstream_r5_73k.npz",
+        "persist/soundstream_r4.npz",
+        "persist/soundstream_r5_63k.npz",
+        "persist/soundstream_r5.npz",
+    ]
+    assert sorted(names)[-1] == "persist/soundstream_r5_73k.npz"
+    # a later-step bank must win over every current artifact
+    assert max(sorted(names + ["persist/soundstream_r5_79k.npz"])) == \
+        "persist/soundstream_r5_79k.npz"
+    assert max(sorted(names + ["persist/soundstream_r5_80k.npz"])) == \
+        "persist/soundstream_r5_80k.npz"
+
+
+def test_banked_codec_artifact_is_loadable():
+    """The committed flagship codec in persist/ must be self-describing and
+    loadable exactly the way bench.py's codec_quality section loads it
+    (init_and_load_from reads the embedded __meta__ config)."""
+    import glob
+    import os
+
+    import jax
+    from audiolm_pytorch_tpu.models.soundstream import SoundStream
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    cands = sorted(glob.glob(os.path.join(root, "persist/soundstream_*.npz")))
+    if not cands:
+        pytest.skip("no banked codec artifact")
+    model = SoundStream.init_and_load_from(cands[-1])
+    x = jnp.zeros((1, 2048))
+    y = model(x, return_recons_only=True)
+    assert y.shape[0] == 1 and np.all(np.isfinite(np.asarray(y)))
